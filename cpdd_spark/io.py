@@ -1,0 +1,91 @@
+"""Table I/O shim: Iceberg on a real cluster, Parquet in the sandbox.
+
+The north rule mandates Iceberg tables for input, clusters, metrics and
+lineage. No Iceberg runtime jar ships with pyspark 4.1.2 offline, so this
+module keeps ONE code path whose format resolves at runtime: if the session
+has an Iceberg catalog configured we address tables by name through it;
+otherwise we read/write Parquet directories with identical schemas and
+partition specs. All pipeline code goes through :class:`TableIO` — swapping
+the sandbox for a cluster changes zero pipeline lines.
+
+Reference analogue: the recursive reference-directory scan
+(/root/reference/src/cpdd/matching.c:150-204) and the copy-or-link sink
+(/root/reference/src/cpdd/copy.c:242-338) — both become declarative
+table scans/writes so Catalyst can prune partitions and push filters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        return bool(spark.conf.get("spark.sql.catalog.cpdd", None))
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Named-table read/write over Iceberg (cluster) or Parquet dirs (sandbox).
+
+    ``root`` is the warehouse directory in Parquet mode; ignored for Iceberg.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.iceberg = _has_iceberg(spark)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        if self.iceberg:
+            return self.spark.catalog.tableExists(f"cpdd.{name}")
+        # Parquet dir counts only when the write committed (_SUCCESS marker):
+        # mirrors cpdd's crash-safe partial-output cleanup
+        # (/root/reference/src/cpdd/copy.c:28-67) — a killed write leaves no
+        # readable table, so resume re-runs that stage.
+        return os.path.isfile(os.path.join(self.path(name), "_SUCCESS"))
+
+    def read(self, name: str) -> DataFrame:
+        if self.iceberg:
+            return self.spark.read.format("iceberg").load(f"cpdd.{name}")
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if self.iceberg:
+            w = df.writeTo(f"cpdd.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+
+    def append(self, df: DataFrame, name: str) -> None:
+        if self.iceberg:
+            df.writeTo(f"cpdd.{name}").append()
+        else:
+            df.write.mode("append").parquet(self.path(name))
+
+    def drop(self, name: str) -> None:
+        if self.iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS cpdd.{name}")
+            return
+        import shutil
+
+        shutil.rmtree(self.path(name), ignore_errors=True)

@@ -1,0 +1,52 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+Single place that pins the configs the 100 TB design relies on: AQE (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow transfer for
+the pandas-UDF kernels, and a shuffle-partition count sized to the
+parallelism level. In the sandbox we run local[8]/local[32]; on a real
+cluster the same builder is driven by spark-submit conf instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "cpdd_spark",
+    shuffle_partitions: int = 32,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``master=None`` defers to spark-submit / existing session — the cluster
+    path. Explicit ``local[N]`` is the sandbox two-scale protocol
+    (BASELINE.md: local[8] vs local[32] as the N vs 4N executor proxy).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    conf = {
+        # AQE: runtime coalescing of small shuffle partitions and skew-join
+        # splitting — first line of defense for hot LSH bands at scale.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow batches for every pandas UDF (MinHash/SimHash/Jaccard kernels).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Transcripts compress extremely well; keep scan splits reasonable.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        "spark.sql.session.timeZone": "UTC",
+        # Quieter local runs.
+        "spark.ui.showConsoleProgress": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
