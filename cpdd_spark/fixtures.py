@@ -59,6 +59,9 @@ class FixtureParams:
     vocab_size: int = 4000
     mutation_lo: float = 0.01
     mutation_hi: float = 0.025
+    shingle_w: int = 5                # must match DedupConfig.shingle_w
+    min_jaccard: float = 0.75         # planted near-dups stay above tau=0.7
+    min_src_tokens: int = 60          # dup sources need real shingle mass
     substring_run: int = 60           # tokens spliced (>= config.substring_w)
     skew_block: int = 0               # N identical short convs (hot LSH band)
     seed: int = 42                    # test_cpdd.sh:28
@@ -131,6 +134,22 @@ def generate(params: FixtureParams = FixtureParams()) -> TranscriptFixture:
         sources.append(-1)
         mut_rates.append(0.0)
 
+    def _tok_jaccard(turns_a: list[np.ndarray], turns_b: list[np.ndarray], w: int) -> float:
+        fa, fb = np.concatenate(turns_a), np.concatenate(turns_b)
+        sa = {tuple(fa[i : i + w]) for i in range(len(fa) - w + 1)}
+        sb = {tuple(fb[i : i + w]) for i in range(len(fb) - w + 1)}
+        if not sa or not sb:
+            return 0.0
+        inter = len(sa & sb)
+        return inter / (len(sa) + len(sb) - inter)
+
+    # dup sources need enough shingle mass that a near-dup can stay above
+    # tau (a 1-token source has zero w-shingles and can never near-match)
+    tok_counts = [sum(len(t) for t in turns) for turns in conv_turn_tokens]
+    eligible = [i for i in range(n_unique) if tok_counts[i] >= params.min_src_tokens]
+    if not eligible:
+        eligible = [int(np.argmax(tok_counts[:n_unique]))]
+
     # 2) exact dups: verbatim per-turn copy (same text per turn_idx;
     #    core.c:330-331, README:189 "same content, different name")
     for _ in range(n_exact):
@@ -140,34 +159,41 @@ def generate(params: FixtureParams = FixtureParams()) -> TranscriptFixture:
         sources.append(src)
         mut_rates.append(0.0)
 
-    # 3) near dups: token-level substitute/insert/delete at a small rate
+    # 3) near dups: token-level substitute/insert/delete at a small rate,
+    #    verified to land above min_jaccard (retry with halved rate so truth
+    #    labels are guaranteed honest w.r.t. the pinned tau)
     for _ in range(n_near):
-        src = int(rng.integers(0, n_unique))
+        src = int(eligible[rng.integers(0, len(eligible))])
         rate = float(rng.uniform(params.mutation_lo, params.mutation_hi))
-        turns = []
-        total_mut = 0
-        for t in conv_turn_tokens[src]:
-            t = t.copy()
-            n_mut = rng.binomial(len(t), rate)
-            for _ in range(int(n_mut)):
-                op = rng.integers(0, 3)
-                pos = int(rng.integers(0, len(t)))
-                if op == 0:      # substitute
-                    t[pos] = rng.integers(0, params.vocab_size)
-                elif op == 1 and len(t) > 2:  # delete
-                    t = np.delete(t, pos)
-                else:            # insert
-                    t = np.insert(t, pos, rng.integers(0, params.vocab_size))
-            total_mut += int(n_mut)
-            turns.append(t)
-        if total_mut == 0:
-            # guarantee the near-dup differs from its source (a 0-mutation
-            # copy would silently be an exact dup and skew truth labels)
-            ti = int(rng.integers(0, len(turns)))
-            pos = int(rng.integers(0, len(turns[ti])))
-            old = turns[ti][pos]
-            turns[ti] = turns[ti].copy()
-            turns[ti][pos] = (old + 1 + rng.integers(0, params.vocab_size - 1)) % params.vocab_size
+        while True:
+            turns = []
+            total_mut = 0
+            for t in conv_turn_tokens[src]:
+                t = t.copy()
+                n_mut = rng.binomial(len(t), rate)
+                for _ in range(int(n_mut)):
+                    op = rng.integers(0, 3)
+                    pos = int(rng.integers(0, len(t)))
+                    if op == 0:      # substitute
+                        t[pos] = rng.integers(0, params.vocab_size)
+                    elif op == 1 and len(t) > 2:  # delete
+                        t = np.delete(t, pos)
+                    else:            # insert
+                        t = np.insert(t, pos, rng.integers(0, params.vocab_size))
+                total_mut += int(n_mut)
+                turns.append(t)
+            if total_mut == 0:
+                # guarantee the near-dup differs from its source (a
+                # 0-mutation copy would silently be an exact dup)
+                ti = int(rng.integers(0, len(turns)))
+                pos = int(rng.integers(0, len(turns[ti])))
+                old = turns[ti][pos]
+                turns[ti] = turns[ti].copy()
+                turns[ti][pos] = (old + 1 + rng.integers(0, params.vocab_size - 1)) % params.vocab_size
+                total_mut = 1
+            if _tok_jaccard(conv_turn_tokens[src], turns, params.shingle_w) >= params.min_jaccard:
+                break
+            rate /= 2.0
         conv_turn_tokens.append(turns)
         kinds.append("near_dup")
         sources.append(src)
@@ -177,7 +203,7 @@ def generate(params: FixtureParams = FixtureParams()) -> TranscriptFixture:
     #    >= substring_run tokens spliced from a source conv (caught only by
     #    the substring pass, not by MinHash at tau)
     for _ in range(n_sub):
-        src = int(rng.integers(0, n_unique))
+        src = int(eligible[rng.integers(0, len(eligible))])
         src_flat = np.concatenate(conv_turn_tokens[src])
         run = min(params.substring_run, len(src_flat))
         start = int(rng.integers(0, max(1, len(src_flat) - run + 1)))

@@ -9,7 +9,35 @@ cluster the same builder is driven by spark-submit conf instead.
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``cpdd_spark`` importable on executors.
+
+    Driver-side ``sys.path`` hacks don't reach executor Python workers: any
+    pandas-UDF closure that references this package dies with
+    ``ModuleNotFoundError`` unless the package ships with the job. On a real
+    cluster that's ``spark-submit --py-files cpdd_spark.zip`` (the north
+    rule's deployment mode); here we zip the installed package once and
+    ``addPyFile`` it, which is the same mechanism.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "cpdd_spark_pkg.zip")
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < max(
+        os.path.getmtime(os.path.join(pkg_dir, f))
+        for f in os.listdir(pkg_dir)
+        if f.endswith(".py")
+    ):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for fname in sorted(os.listdir(pkg_dir)):
+                if fname.endswith(".py"):
+                    zf.write(os.path.join(pkg_dir, fname), f"cpdd_spark/{fname}")
+    spark.sparkContext.addPyFile(zip_path)
 
 
 def get_spark(
@@ -49,4 +77,5 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
     return spark

@@ -1,0 +1,186 @@
+"""Signature tier: word shingles -> MinHash(k) + SimHash in ONE Arrow pass
+(P4-P6).
+
+Generalizes the reference's hash tier (streaming MD5,
+/root/reference/src/common/md5.c:171-216) from exact digests to
+similarity-preserving sketches, and mirrors its FUSED single-pass design
+(matching.c:110-129 computes MD5 and byte-compares in one read): one
+``mapInPandas`` pass over each Arrow batch tokenizes, hashes shingles,
+computes all k MinHash slots AND the SimHash fingerprint — the document
+text is traversed once.
+
+All kernels are vectorized NumPy over flattened token arrays (no per-row
+Python work beyond the tokenizer split):
+
+- token hashing: ``pd.util.hash_array`` (SipHash, fixed key -> deterministic
+  across executor processes);
+- shingle hashing: rolling polynomial combine of w consecutive token hashes
+  in uint64 wraparound arithmetic — shingle strings are never materialized;
+- MinHash: each of the k "permutations" is a genuine bijection on the
+  64-bit domain — xor a seeded random constant, then the splitmix64
+  avalanche finalizer (Steele et al., "Fast Splittable Pseudorandom Number
+  Generators", OOPSLA'14; the finalizer is a bijective composition of
+  xorshifts and odd multiplications). Per-doc minima via
+  ``np.minimum.reduceat``. NOTE: the textbook (a*x+b) mod p family with
+  a,b drawn below 2^32 is badly NON-min-wise-independent here — for small
+  a the map is monotone in x (a*x never wraps p), so argmins correlate
+  across permutations and the Jaccard estimate collapses; a bijective
+  mixer has no such failure mode;
+- SimHash: +-1 bit-plane sums of the 64-bit shingle hashes via
+  ``np.add.reduceat``, processed 16 bit-planes at a time to bound memory.
+
+Config (w, k, seed) comes from one :class:`DedupConfig` so the brute-force
+recall oracle and the pipeline provably run the same shingle/signature
+config (BASELINE.json "same shingle/signature config").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from cpdd_spark.config import DedupConfig
+
+SIG_SCHEMA = "conv_id string, n_shingles long, minhash array<long>, simhash long"
+
+
+def _perm_params(cfg: DedupConfig) -> np.ndarray:
+    """k seeded 64-bit xor constants, one per MinHash permutation."""
+    rng = np.random.default_rng(cfg.seed)
+    return rng.integers(0, 1 << 64, size=cfg.num_perm, dtype=np.uint64)
+
+
+def _splitmix64(y: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche finalizer — a bijection on uint64."""
+    with np.errstate(over="ignore"):
+        y = y.copy()
+        y ^= y >> np.uint64(30)
+        y *= np.uint64(0xBF58476D1CE4E5B9)
+        y ^= y >> np.uint64(27)
+        y *= np.uint64(0x94D049BB133111EB)
+        y ^= y >> np.uint64(31)
+    return y
+
+
+def shingle_hashes(docs: pd.Series, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened 64-bit shingle hashes for a batch of documents.
+
+    Returns ``(hashes, offsets)`` where ``offsets[i]`` is the start of doc
+    i's shingles and ``offsets[n] == len(hashes)``. Docs with < w tokens
+    contribute zero shingles.
+    """
+    token_lists = docs.str.split()
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    flat_tokens = np.concatenate(
+        [np.asarray(t, dtype=object) for t in token_lists]
+    ) if counts.sum() else np.empty(0, dtype=object)
+    tok_h = pd.util.hash_array(flat_tokens).astype(np.uint64)
+
+    n_sh = np.maximum(counts - w + 1, 0)
+    offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(n_sh, out=offsets[1:])
+    total = int(offsets[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), offsets
+
+    # rolling polynomial combine: h(shingle at i) = sum_j tok_h[i+j] * R^j
+    # (uint64 wraparound). Build per-doc windows via a flat index map.
+    R = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+    tok_starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=tok_starts[1:])
+    # global index of shingle s within doc i = tok_starts[i] + (s - offsets[i])
+    doc_of = np.repeat(np.arange(len(counts)), n_sh)
+    local = np.arange(total) - offsets[doc_of]
+    base = tok_starts[doc_of] + local
+    out = np.zeros(total, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash design
+        mult = np.uint64(1)
+        for j in range(w):
+            out += tok_h[base + j] * mult
+            mult = mult * R
+    # final avalanche so near-identical sums don't correlate bit planes
+    out ^= out >> np.uint64(33)
+    out *= np.uint64(0xFF51AFD7ED558CCD)
+    out ^= out >> np.uint64(33)
+    return out, offsets
+
+
+def _minhash(h: np.ndarray, offsets: np.ndarray, consts: np.ndarray) -> np.ndarray:
+    """(n_docs, k) int64 minima of per-permutation bijections of the shingle
+    hashes; docs with zero shingles get -1 (screened by n_shingles anyway)."""
+    n_docs = len(offsets) - 1
+    k = len(consts)
+    sig = np.full((n_docs, k), -1, dtype=np.int64)
+    if len(h) == 0:
+        return sig
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    starts = offsets[nonempty]
+    chunk = 16  # perms per pass: bounds the (chunk, n_shingles) temp
+    for c0 in range(0, k, chunk):
+        c1 = min(c0 + chunk, k)
+        hv = _splitmix64(h[None, :] ^ consts[c0:c1, None])  # (c, n) bijective
+        mins = np.minimum.reduceat(hv, starts, axis=1)  # (c, n_nonempty)
+        sig[nonempty, c0:c1] = mins.T.view(np.int64)
+    return sig
+
+
+def _simhash(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """(n_docs,) int64 SimHash; docs with zero shingles get 0."""
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(h) == 0:
+        return out.view(np.int64)
+    nonempty = np.flatnonzero(np.diff(offsets) > 0)
+    starts = offsets[nonempty]
+    for b0 in range(0, 64, 16):  # 16 bit-planes at a time
+        planes = ((h[None, :] >> np.arange(b0, b0 + 16, dtype=np.uint64)[:, None])
+                  & np.uint64(1)).astype(np.int32) * 2 - 1  # (16, n) of +-1
+        sums = np.add.reduceat(planes, starts, axis=1)  # (16, n_nonempty)
+        bits = (sums > 0).astype(np.uint64)  # ties (sum==0) -> 0
+        for i in range(16):
+            out[nonempty] |= bits[i] << np.uint64(b0 + i)
+    return out.view(np.int64)
+
+
+def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``documents(conv_id, .., doc)`` ->
+    ``signatures(conv_id, n_shingles, minhash array<long>[k], simhash long)``.
+    """
+    consts = _perm_params(cfg)
+    w = cfg.shingle_w
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, offsets = shingle_hashes(pdf["doc"], w)
+            sig = _minhash(h, offsets, consts)
+            sim = _simhash(h, offsets)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "n_shingles": np.diff(offsets),
+                    "minhash": list(sig),
+                    "simhash": sim,
+                }
+            )
+
+    return docs.select("conv_id", "doc").mapInPandas(kernel, schema=SIG_SCHEMA)
+
+
+def exact_jaccard_sets(doc_a: str, doc_b: str, w: int) -> float:
+    """Brute-force w-shingle Jaccard on actual token tuples — the oracle
+    definition the MinHash estimates (used by the verify tier and tests).
+
+    Docs shorter than w tokens have NO shingles; their Jaccard is defined as
+    1.0 iff the docs are string-identical, else 0.0 — sub-shingle docs are
+    the exact tier's jurisdiction (same convention as the LSH screen, which
+    drops n_shingles == 0 rows)."""
+    ta, tb = doc_a.split(), doc_b.split()
+    sa = {tuple(ta[i : i + w]) for i in range(len(ta) - w + 1)}
+    sb = {tuple(tb[i : i + w]) for i in range(len(tb) - w + 1)}
+    if not sa or not sb:
+        return 1.0 if doc_a == doc_b else 0.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)

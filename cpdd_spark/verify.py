@@ -1,0 +1,72 @@
+"""Tier-3 verification: exact Jaccard over candidate pairs (P9).
+
+Mirrors the reference's non-negotiable rule that a hash match is never
+trusted without verification (MD5 collision guard,
+/root/reference/src/cpdd/matching.c:77-83; byte compare 30-59): every LSH /
+SimHash candidate pair is re-checked with EXACT w-shingle Jaccard on the
+document text, and only pairs >= tau survive.
+
+Batch-vectorized: one Arrow pass per batch re-uses the signature kernel's
+shingle hasher (64-bit hashes; collision odds ~2^-64 per shingle pair), with
+``np.intersect1d`` per pair. Scale note: at 10^12 turns you'd verify against
+stored shingle-hash arrays instead of re-tokenizing raw text; the operator
+is isolated behind this function so that swap touches nothing else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cpdd_spark.config import DedupConfig
+from cpdd_spark.signatures import shingle_hashes
+
+VERIFIED_SCHEMA = "a string, b string, jaccard double"
+
+
+def verify_pairs(
+    pairs: DataFrame, docs: DataFrame, cfg: DedupConfig, keep_all: bool = False
+) -> DataFrame:
+    """``pairs(a, b)`` + ``documents(conv_id, doc)`` ->
+    ``verified_pairs(a, b, jaccard)`` with jaccard >= cfg.tau.
+
+    ``keep_all=True`` returns every candidate with its jaccard (for recall
+    diagnostics). The doc joins stay JVM-side; only the set intersection
+    runs in the Arrow kernel.
+    """
+    w = cfg.shingle_w
+    tau = cfg.tau
+
+    da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
+    db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
+    joined = pairs.join(da, "a").join(db, "b").select("a", "b", "doc_a", "doc_b")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ha, offs_a = shingle_hashes(pdf["doc_a"], w)
+            hb, offs_b = shingle_hashes(pdf["doc_b"], w)
+            jac = np.zeros(len(pdf), dtype=np.float64)
+            for i in range(len(pdf)):
+                sa = np.unique(ha[offs_a[i] : offs_a[i + 1]])
+                sb = np.unique(hb[offs_b[i] : offs_b[i + 1]])
+                if len(sa) == 0 or len(sb) == 0:
+                    # sub-shingle docs: near-dup iff string-identical (the
+                    # exact tier's jurisdiction; see exact_jaccard_sets)
+                    jac[i] = 1.0 if pdf["doc_a"].iat[i] == pdf["doc_b"].iat[i] else 0.0
+                else:
+                    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                    jac[i] = inter / (len(sa) + len(sb) - inter)
+            yield pd.DataFrame(
+                {"a": pdf["a"].to_numpy(), "b": pdf["b"].to_numpy(), "jaccard": jac}
+            )
+
+    verified = joined.mapInPandas(kernel, schema=VERIFIED_SCHEMA)
+    if keep_all:
+        return verified
+    return verified.filter(F.col("jaccard") >= F.lit(tau))

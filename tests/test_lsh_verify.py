@@ -1,0 +1,125 @@
+"""LSH candidate generation + exact-Jaccard verification: recall vs the
+brute-force oracle at the pinned config (BASELINE.json recall >= 0.99)."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cpdd_spark.assemble import assemble_documents
+from cpdd_spark.config import DedupConfig
+from cpdd_spark.exact import exact_clusters
+from cpdd_spark.lsh import candidate_pairs, simhash_candidates
+from cpdd_spark.signatures import compute_signatures, exact_jaccard_sets
+from cpdd_spark.verify import verify_pairs
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, turns_df):
+    return assemble_documents(turns_df).cache()
+
+
+@pytest.fixture(scope="module")
+def reps_df(docs_df):
+    """Exact-cluster representatives — the LSH input (skew defense #1)."""
+    cl = exact_clusters(docs_df)
+    return docs_df.join(
+        cl.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
+        "conv_id",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_pairs(reps_df):
+    """Brute-force: all representative pairs with exact Jaccard >= tau."""
+    rows = reps_df.select("conv_id", "doc").collect()
+    out = set()
+    for (ca, da), (cb, db) in itertools.combinations(
+        sorted((r["conv_id"], r["doc"]) for r in rows), 2
+    ):
+        if exact_jaccard_sets(da, db, CFG.shingle_w) >= CFG.tau:
+            out.add((ca, cb))
+    return out
+
+
+def test_lsh_recall_and_verify_precision(spark, reps_df, oracle_pairs):
+    sigs = compute_signatures(reps_df, CFG).cache()
+    cands = candidate_pairs(sigs, CFG)
+    verified = verify_pairs(cands, reps_df, CFG)
+    got = {(r["a"], r["b"]) for r in verified.collect()}
+
+    assert len(oracle_pairs) > 0, "fixture must plant near-dup pairs above tau"
+    missed = oracle_pairs - got
+    recall = 1 - len(missed) / len(oracle_pairs)
+    assert recall >= 0.99, f"recall {recall}: missed {missed}"
+    # verification makes precision exact: nothing below tau survives
+    assert got <= oracle_pairs, f"false positives: {got - oracle_pairs}"
+
+
+def test_verified_jaccard_matches_bruteforce(spark, reps_df):
+    sigs = compute_signatures(reps_df, CFG)
+    cands = candidate_pairs(sigs, CFG)
+    verified = verify_pairs(cands, reps_df, CFG, keep_all=True).collect()
+    docs = {r["conv_id"]: r["doc"] for r in reps_df.select("conv_id", "doc").collect()}
+    for r in verified:
+        exact = exact_jaccard_sets(docs[r["a"]], docs[r["b"]], CFG.shingle_w)
+        assert abs(r["jaccard"] - exact) < 1e-12, (r["a"], r["b"])
+
+
+def test_near_dup_truth_found(spark, docs_df, truth_pdf):
+    """Every planted near_dup must pair with its source (mutation rates are
+    chosen to keep J >= tau)."""
+    sigs = compute_signatures(docs_df, CFG)
+    verified = verify_pairs(candidate_pairs(sigs, CFG), docs_df, CFG)
+    got = {(r["a"], r["b"]) for r in verified.collect()}
+    for _, row in truth_pdf[truth_pdf["kind"] == "near_dup"].iterrows():
+        pair = tuple(sorted([row["conv_id"], row["source_conv"]]))
+        assert pair in got, pair
+
+
+def test_hot_bucket_capped(spark):
+    """Skew fixture: one band bucket with every doc identical-ish must not
+    produce O(n^2) pairs, yet must stay connected via shard chains."""
+    from cpdd_spark.fixtures import FixtureParams, generate
+
+    fx = generate(FixtureParams(num_convs=20, skew_block=150, seed=5))
+    cfg = DedupConfig(max_band_bucket=20, salt_buckets=4)
+    turns = spark.createDataFrame(fx.transcripts)
+    docs = assemble_documents(turns).cache()
+    # identical docs collapse at the exact tier; force them through LSH to
+    # exercise the hot path by NOT dedup-ing first
+    sigs = compute_signatures(docs, cfg)
+    pairs = candidate_pairs(sigs, cfg)
+    n = pairs.count()
+    n_skew = 150
+    assert n < n_skew * (n_skew - 1) / 2 / 4, f"cap ineffective: {n} pairs"
+    # connectivity: all skew convs must land in one component
+    from cpdd_spark.cc import connected_components
+
+    verified = verify_pairs(pairs, docs, cfg)
+    clusters = connected_components(verified.select("a", "b")).toPandas()
+    skew_ids = set(fx.truth[fx.truth["kind"] == "skew_dup"]["conv_id"])
+    labels = set(clusters[clusters["conv_id"].isin(skew_ids)]["cluster_id"])
+    assert len(labels) == 1
+
+
+def test_simhash_candidates_find_very_near_dups(spark, reps_df, docs_df):
+    """SimHash (64-bit, Hamming <= 6) is the VERY-near-dup screen: at
+    J ~ 0.8 word-shingle SimHash sits at Hamming ~8-13, so its contract is
+    the J >= 0.95 band (tiny mutations), complementary to MinHash-LSH which
+    owns the tau=0.7 band. Assert it catches all J >= 0.95 oracle pairs."""
+    rows = reps_df.select("conv_id", "doc").collect()
+    very_near = set()
+    for (ca, da), (cb, db) in itertools.combinations(
+        sorted((r["conv_id"], r["doc"]) for r in rows), 2
+    ):
+        if exact_jaccard_sets(da, db, CFG.shingle_w) >= 0.95:
+            very_near.add((ca, cb))
+    assert len(very_near) > 0
+    sigs = compute_signatures(reps_df, CFG)
+    got = {(r["a"], r["b"]) for r in simhash_candidates(sigs, CFG).collect()}
+    assert very_near <= got, f"missed: {very_near - got}"
