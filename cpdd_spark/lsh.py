@@ -52,42 +52,40 @@ def band_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct candidate ``(a, b)`` pairs with a < b from band collisions."""
-    buckets = band_buckets(signatures, cfg)
+def pairs_from_buckets(
+    buckets: DataFrame, key_cols: list[str], cfg: DedupConfig
+) -> DataFrame:
+    """Skew-aware pair generation from ``(key_cols..., conv_id)`` bucket rows.
 
-    sizes = buckets.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("bucket_n")
-    )
-    keyed = buckets.join(sizes, ["band_id", "band_hash"])
+    Shared by LSH band buckets and substring fingerprint buckets. Normal
+    buckets (<= max_band_bucket members) emit all C(n,2) pairs via an
+    equi-self-join (AQE skew-join splits the shuffle); hot buckets emit
+    salted within-shard pairs plus a representative chain — O(n*cap) pairs
+    while preserving connectivity through CC for true duplicate blobs.
+    """
+    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bucket_n"))
+    keyed = buckets.join(sizes, key_cols)
 
     # --- normal buckets: full pairwise self-join (C(n,2) pairs) ---
     small = keyed.filter(F.col("bucket_n") <= cfg.max_band_bucket)
-    left = small.select("band_id", "band_hash", F.col("conv_id").alias("a"))
-    right = small.select("band_id", "band_hash", F.col("conv_id").alias("b"))
-    small_pairs = left.join(right, ["band_id", "band_hash"]).filter(
-        F.col("a") < F.col("b")
-    )
+    left = small.select(*key_cols, F.col("conv_id").alias("a"))
+    right = small.select(*key_cols, F.col("conv_id").alias("b"))
+    small_pairs = left.join(right, key_cols).filter(F.col("a") < F.col("b"))
 
     # --- hot buckets: salted shards + shard-chain (O(n * cap) pairs) ---
     hot = keyed.filter(F.col("bucket_n") > cfg.max_band_bucket).withColumn(
         "salt", F.pmod(F.crc32(F.col("conv_id")), F.lit(cfg.salt_buckets))
     )
-    hl = hot.select("band_id", "band_hash", "salt", F.col("conv_id").alias("a"))
-    hr = hot.select("band_id", "band_hash", "salt", F.col("conv_id").alias("b"))
-    shard_pairs = hl.join(hr, ["band_id", "band_hash", "salt"]).filter(
-        F.col("a") < F.col("b")
-    )
+    skey = [*key_cols, "salt"]
+    hl = hot.select(*skey, F.col("conv_id").alias("a"))
+    hr = hot.select(*skey, F.col("conv_id").alias("b"))
+    shard_pairs = hl.join(hr, skey).filter(F.col("a") < F.col("b"))
     # chain shard representatives (min conv_id per shard) so the bucket's
     # shards stay mutually connected through CC
-    reps = hot.groupBy("band_id", "band_hash", "salt").agg(
-        F.min("conv_id").alias("rep")
-    )
-    bucket_rep = reps.groupBy("band_id", "band_hash").agg(
-        F.min("rep").alias("bucket_rep")
-    )
+    reps = hot.groupBy(*skey).agg(F.min("conv_id").alias("rep"))
+    bucket_rep = reps.groupBy(*key_cols).agg(F.min("rep").alias("bucket_rep"))
     chain_pairs = (
-        reps.join(bucket_rep, ["band_id", "band_hash"])
+        reps.join(bucket_rep, key_cols)
         .filter(F.col("rep") != F.col("bucket_rep"))
         .select(
             F.least("rep", "bucket_rep").alias("a"),
@@ -100,6 +98,13 @@ def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         .unionByName(shard_pairs.select("a", "b"))
         .unionByName(chain_pairs)
         .distinct()
+    )
+
+
+def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct candidate ``(a, b)`` pairs with a < b from band collisions."""
+    return pairs_from_buckets(
+        band_buckets(signatures, cfg), ["band_id", "band_hash"], cfg
     )
 
 

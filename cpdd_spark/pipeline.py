@@ -1,0 +1,169 @@
+"""End-to-end dedup pipeline: checkpointed stages, lineage + metrics (P12).
+
+Plays the role of the reference's top-level driver ``copy_directory``
+(/root/reference/src/cpdd/copy.c:444-573): build the reference index once,
+probe with every source, track statistics. The Spark translation:
+
+- each stage materializes to a table (Iceberg on a cluster, parquet here via
+  :class:`cpdd_spark.io.TableIO`); a stage whose output table exists and
+  committed is SKIPPED on rerun — checkpoint-resume with exactly the
+  reference's no-clobber semantics (``should_overwrite``, copy.c:73-96: the
+  existing destination is kept);
+- a killed run leaves no committed table for the in-flight stage (parquet
+  ``_SUCCESS`` marker / Iceberg snapshot atomicity), so the rerun recomputes
+  exactly that stage — the analogue of ``cleanup_incomplete_file``
+  (copy.c:28-67);
+- per-stage metrics rows (rows out, wall seconds) and per-partition lineage
+  rows generalize ``stats_t`` (include/cpdd.h:61-69) and feed the
+  scaling-efficiency benches.
+
+Stage DAG::
+
+    turns -> documents -> exact_clusters -> reps -+-> signatures -> verified_pairs -+
+                                                  +-> substring_pairs --------------+-> clusters
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cpdd_spark.assemble import assemble_documents
+from cpdd_spark.cc import connected_components
+from cpdd_spark.config import DedupConfig
+from cpdd_spark.exact import exact_clusters, exact_pairs
+from cpdd_spark.io import TableIO
+from cpdd_spark.lsh import candidate_pairs
+from cpdd_spark.signatures import compute_signatures
+from cpdd_spark.substring import substring_pairs
+from cpdd_spark.verify import verify_pairs
+
+
+class DedupPipeline:
+    """Resumable transcript dedup over a working directory of stage tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str,
+        cfg: DedupConfig = DedupConfig(),
+        enable_substring: bool = True,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.io = TableIO(spark, workdir)
+        self.enable_substring = enable_substring
+        self.run_id = uuid.uuid4().hex[:12]
+        self.stage_log: list[tuple[str, str]] = []  # (stage, 'computed'|'resumed')
+        self._dirty = False  # an upstream stage recomputed -> downstream stale
+
+    # ---- bookkeeping ----------------------------------------------------
+
+    def _record(self, stage: str, t0: float) -> None:
+        """Append metrics (stage totals) + lineage (per-partition rows) —
+        stats_t generalized (include/cpdd.h:61-69, increments copy.c:267-333).
+        """
+        lineage = (
+            self.io.read(stage)
+            .groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .withColumn("run_id", F.lit(self.run_id))
+            .withColumn("stage", F.lit(stage))
+            .select("run_id", "stage", "partition_id", "rows")
+        )
+        self.io.append(lineage, "lineage")
+        n = lineage.agg(F.sum("rows")).collect()[0][0] or 0
+        metrics = self.spark.createDataFrame(
+            [(self.run_id, stage, int(n), float(t0), time.time())],
+            "run_id string, stage string, rows long, t_start double, t_end double",
+        ).withColumn("seconds", F.col("t_end") - F.col("t_start"))
+        self.io.append(metrics, "metrics")
+
+    def _stage(self, name: str, compute, resume: bool) -> DataFrame:
+        """No-clobber stage execution: existing committed output is reused
+        (should_overwrite semantics, copy.c:73-96). Once any stage recomputes
+        in this run, every DOWNSTREAM stage recomputes too — a committed
+        table derived from a stale upstream must not be trusted."""
+        if resume and not self._dirty and self.io.exists(name):
+            self.stage_log.append((name, "resumed"))
+            return self.io.read(name)
+        self._dirty = True
+        t0 = time.time()
+        self.io.write(compute(), name)
+        self._record(name, t0)
+        self.stage_log.append((name, "computed"))
+        return self.io.read(name)
+
+    # ---- the pipeline ----------------------------------------------------
+
+    def run(self, turns: DataFrame, resume: bool = True) -> DataFrame:
+        """turns -> final ``clusters(conv_id, cluster_id)`` table."""
+        cfg = self.cfg
+
+        docs = self._stage("documents", lambda: assemble_documents(turns), resume)
+        exact = self._stage("exact_clusters", lambda: exact_clusters(docs), resume)
+
+        # fuzzy tiers run over exact-cluster representatives only: identical
+        # docs collapse before any signature work (tier layering == skew
+        # defense #1; the reference scans refs once for all sources,
+        # copy.c:465-483 — we persist the rep set once for all fuzzy tiers)
+        reps = docs.join(
+            exact.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
+            "conv_id",
+        )
+
+        sigs = self._stage(
+            "signatures", lambda: compute_signatures(reps, cfg), resume
+        )
+        verified = self._stage(
+            "verified_pairs",
+            lambda: verify_pairs(candidate_pairs(sigs, cfg), reps, cfg),
+            resume,
+        )
+
+        edge_frames = [
+            exact_pairs(exact),
+            verified.select("a", "b"),
+        ]
+        if self.enable_substring:
+            substr = self._stage(
+                "substring_pairs", lambda: substring_pairs(reps, cfg), resume
+            )
+            edge_frames.append(substr.select("a", "b"))
+
+        edges = edge_frames[0]
+        for e in edge_frames[1:]:
+            edges = edges.unionByName(e)
+
+        clusters = self._stage(
+            "clusters",
+            lambda: connected_components(edges, vertices=docs.select("conv_id")),
+            resume,
+        )
+        return clusters
+
+    # ---- reporting --------------------------------------------------------
+
+    def stats(self) -> DataFrame:
+        """Dedup disposition summary — print_statistics analogue
+        (copy.c:131-191): canonical docs are 'copied', duplicate members are
+        'linked', bytes_linked is the storage the dedup saves."""
+        clusters = self.io.read("clusters")
+        docs = self.io.read("documents").select("conv_id", "doc_len")
+        return (
+            clusters.join(docs, "conv_id")
+            .withColumn(
+                "disposition",
+                F.when(F.col("conv_id") == F.col("cluster_id"), "canonical").otherwise(
+                    "duplicate"
+                ),
+            )
+            .groupBy("disposition")
+            .agg(
+                F.count(F.lit(1)).alias("convs"),
+                F.sum("doc_len").alias("bytes"),
+            )
+        )

@@ -1,0 +1,133 @@
+"""Substring-duplication pass: winnowed rolling-hash fingerprints (P11).
+
+Extends the reference's exact-equality tier
+(/root/reference/src/cpdd/matching.c:30-59) to EXACT SUBSTRING duplication
+across conversations: catch pairs sharing a contiguous token run of at least
+``substring_w`` tokens even when whole-document Jaccard sits far below tau
+(e.g. one spliced boilerplate block inside otherwise-unique transcripts).
+
+Design — winnowing (Schleimer, Wilkerson, Aiken, "Winnowing: Local
+Algorithms for Document Fingerprinting", SIGMOD'03) instead of a distributed
+suffix array: suffix arrays don't distribute naturally (SURVEY §7 hard part
+c), while winnowing is embarrassingly parallel per document and gives the
+same guarantee we need:
+
+- hash every W-token window (the same rolling kernel the signature tier
+  uses, so one code path is trusted for both);
+- within every run of ``winnow_window`` consecutive window hashes keep the
+  minimum (rightmost on ties): any shared token run of length
+  >= W + winnow_window - 1 is then guaranteed to surface at least one
+  IDENTICAL selected fingerprint in both documents;
+- join documents on fingerprints (skew-aware, same bucket machinery as
+  LSH — boilerplate blocks are exactly the hot buckets);
+- verify candidates by re-intersecting FULL (unwinnowed) W-gram hash sets:
+  a shared W-gram *is* an exact common W-token run (collision odds 2^-64),
+  mirroring "a hash match is never trusted without verification"
+  (matching.c:77-83).
+
+The effective guaranteed detection length is
+``substring_w + winnow_window - 1`` tokens; runs in [substring_w, that)
+are detected with high probability but not guaranteed — the standard
+winnowing trade. Fixtures splice ``substring_run=60 >= 30+8-1`` tokens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cpdd_spark.config import DedupConfig
+from cpdd_spark.lsh import pairs_from_buckets
+from cpdd_spark.signatures import shingle_hashes
+
+FP_SCHEMA = "conv_id string, fp long"
+SUBSTR_SCHEMA = "a string, b string, n_common_windows long"
+
+
+def _winnow(h: np.ndarray, k: int) -> np.ndarray:
+    """Positions of winnowing-selected fingerprints of one doc's window-hash
+    sequence ``h`` with window size ``k`` (min per window, rightmost tie)."""
+    n = len(h)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= k:
+        return np.array([n - 1 - int(np.argmin(h[::-1]))], dtype=np.int64)
+    # sliding-window minimum positions via stride tricks (vectorized)
+    win = np.lib.stride_tricks.sliding_window_view(h, k)
+    # rightmost min: argmin over reversed window
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(n - k + 1) + (k - 1 - rev_arg)
+    return np.unique(pos)
+
+
+def fingerprints(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``documents(conv_id, doc)`` -> distinct ``(conv_id, fp)`` winnowed
+    fingerprints of W-token windows."""
+    w, k = cfg.substring_w, cfg.winnow_window
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, offsets = shingle_hashes(pdf["doc"], w)
+            ids, fps = [], []
+            for i in range(len(pdf)):
+                hw = h[offsets[i] : offsets[i + 1]]
+                sel = _winnow(hw, k)
+                if len(sel):
+                    picked = np.unique(hw[sel])
+                    ids.append(np.repeat(pdf["conv_id"].iat[i], len(picked)))
+                    fps.append(picked)
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "conv_id": np.concatenate(ids),
+                    "fp": np.concatenate(fps).view(np.int64),
+                }
+            )
+
+    return docs.select("conv_id", "doc").mapInPandas(kernel, schema=FP_SCHEMA)
+
+
+def substring_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Verified substring-duplicate pairs ``(a, b, n_common_windows)``.
+
+    Candidates come from fingerprint-bucket joins (skew-aware); verification
+    re-intersects the FULL W-gram hash sets of each candidate pair, so every
+    reported pair truly shares >= 1 exact W-token run.
+    """
+    fps = fingerprints(docs, cfg)
+    cands = pairs_from_buckets(fps, ["fp"], cfg)
+
+    w = cfg.substring_w
+    da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
+    db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
+    joined = cands.join(da, "a").join(db, "b").select("a", "b", "doc_a", "doc_b")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ha, offs_a = shingle_hashes(pdf["doc_a"], w)
+            hb, offs_b = shingle_hashes(pdf["doc_b"], w)
+            common = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(len(pdf)):
+                sa = np.unique(ha[offs_a[i] : offs_a[i + 1]])
+                sb = np.unique(hb[offs_b[i] : offs_b[i + 1]])
+                if len(sa) and len(sb):
+                    common[i] = len(np.intersect1d(sa, sb, assume_unique=True))
+            yield pd.DataFrame(
+                {
+                    "a": pdf["a"].to_numpy(),
+                    "b": pdf["b"].to_numpy(),
+                    "n_common_windows": common,
+                }
+            )
+
+    return (
+        joined.mapInPandas(kernel, schema=SUBSTR_SCHEMA)
+        .filter(F.col("n_common_windows") >= 1)
+    )
