@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's scope (its only scalar "string function" is
+format_bytes, /root/reference/src/cpdd/copy.c:131-160) but first-class for a
+100 TB corpus engine: token counting, quality scoring, language-ID and
+document fingerprinting — all pure ``pyspark.sql.functions`` column
+expressions (JVM-side, whole-stage codegen, zero Python), deliberately
+built from constructs with exact ANSI-SQL equivalents so every one of them
+is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny pinned stopword list — the lang-ID/quality heuristics key off it;
+# pinned here so Spark and oracle SQL provably use the same list
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+PUNCT_CHARS = [".", ",", "!", "?"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens; '' -> empty array (split would yield [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, " ")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def stopword_count(text: Column | str) -> Column:
+    toks = tokens(text)
+    return F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS))
+    ).cast("long")
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    # count punctuation chars by length difference after strip — exactly
+    # expressible in SQL as length(x) - length(translate(x, '.,!?', ''))
+    return (F.length(c) - F.length(F.translate(c, "".join(PUNCT_CHARS), ""))).cast(
+        "long"
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality: rewards mid-length docs, real word lengths,
+    some stopword mass; penalizes punctuation soup. Integer-arithmetic-free
+    of engine-specific functions => bit-identical in DuckDB."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    sw = stopword_count(c).cast("double")
+    punct = punct_count(c).cast("double")
+    avg_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
+    len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    tok_term = F.when((avg_tok >= 3) & (avg_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw_term = F.least(F.lit(1.0), F.when(n_toks > 0, sw * 10.0 / n_toks).otherwise(F.lit(0.0)))
+    punct_term = F.when(n_chars > 0, F.lit(1.0) - F.least(punct * 5.0 / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
+    return (len_term * 0.4 + tok_term * 0.2 + sw_term * 0.2 + punct_term * 0.2).alias(
+        "quality"
+    )
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram-free heuristic language ID: English iff stopword density
+    clears a threshold; 'short' for sub-5-token docs (undecidable)."""
+    n_toks = token_count(text)
+    sw = stopword_count(text)
+    return (
+        F.when(n_toks < 5, F.lit("short"))
+        .when(sw.cast("double") / n_toks.cast("double") >= 0.03, F.lit("en"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """128-bit content fingerprint (hex). MD5 keeps the reference's exact
+    grouping semantics (R9) and is engine-portable; the similarity-aware
+    rolling fingerprints live in cpdd_spark.substring (winnowing)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def profile(df, text_col: str = "text"):
+    """Attach the full analysis column set to a DataFrame."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_stopwords", stopword_count(text_col))
+        .withColumn("n_punct", punct_count(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", lang_id(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
