@@ -217,7 +217,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full dedup clustering (exact + near edges -> CC)."""
-    docs = _assembled(spark, sf_dir)
+    docs = _assembled(spark, sf_dir).persist()
     ec = exact_clusters(docs)
     near = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=0.7)
     edges = exact_pairs(ec).unionByName(near.select("a", "b"))

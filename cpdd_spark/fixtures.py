@@ -94,9 +94,20 @@ class TranscriptFixture:
         self.truth = truth
         self.params = params
 
-    def write(self, out_dir: str) -> None:
+    def write(self, out_dir: str, n_files: int = 16) -> None:
+        """``transcripts.parquet`` is a DIRECTORY of n_files part files:
+        a single monolithic file caps Spark's scan parallelism at
+        size/maxPartitionBytes tasks (measured: 2 tasks for 1.7M turns),
+        which strangles every map-side stage. Real tables are multi-file."""
         os.makedirs(out_dir, exist_ok=True)
-        self.transcripts.to_parquet(os.path.join(out_dir, "transcripts.parquet"), index=False)
+        tdir = os.path.join(out_dir, "transcripts.parquet")
+        os.makedirs(tdir, exist_ok=True)
+        n = len(self.transcripts)
+        step = (n + n_files - 1) // n_files
+        for i in range(n_files):
+            part = self.transcripts.iloc[i * step : (i + 1) * step]
+            if len(part):
+                part.to_parquet(os.path.join(tdir, f"part-{i:04d}.parquet"), index=False)
         self.truth.to_parquet(os.path.join(out_dir, "truth.parquet"), index=False)
 
 

