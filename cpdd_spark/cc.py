@@ -26,24 +26,93 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact CC via union-find on the driver — O(E alpha(E)), one collect.
+
+    Only used below ``DRIVER_CC_MAX_EDGES``: the dup-pair edge list is
+    typically orders of magnitude smaller than the corpus (pairs are
+    O(duplicates), not O(documents)), and at that size 8-10 distributed
+    label-propagation jobs cost more in scheduling latency than one
+    collect. Above the bound the distributed loop takes over — the
+    100 TB path never collects.
+    """
+    spark = edges.sparkSession
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    # Arrow-batched collect: toLocalIterator deserializes row-at-a-time and
+    # measured ~10s for 330k edges; toPandas is ~1s for the same
+    pdf = edges.select("a", "b").toPandas()
+    seen: set[str] = set()
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root convention keeps "cluster_id = min conv_id"
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(x, find(x)) for x in seen]
+    if not rows:
+        return spark.createDataFrame([], "conv_id string, cluster_id string")
+    return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+
+
+DRIVER_CC_MAX_EDGES = 5_000_000
+
+
 def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 25,
+    n_partitions: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """``edges(a, b)`` [+ optional ``vertices(conv_id)``] ->
     ``clusters(conv_id, cluster_id)``.
 
     Vertices absent from ``edges`` (singletons) keep themselves as
     cluster_id when ``vertices`` is supplied.
+
+    ``n_partitions`` sizes the per-round frames: the edge list is usually
+    orders of magnitude smaller than the corpus, and every CC round
+    re-schedules its map tasks, so inheriting the corpus-sized shuffle
+    width multiplies pure task-launch latency across rounds. Pass a small
+    value (or let the default shuffle width stand for huge edge lists).
+
+    ``strategy``: 'auto' (driver union-find when the edge list is small,
+    distributed rounds otherwise), 'distributed', or 'driver'.
     """
     spark = edges.sparkSession
+
+    if strategy != "distributed":
+        n_edges = edges.count()
+        if strategy == "driver" or n_edges <= DRIVER_CC_MAX_EDGES:
+            clusters = _driver_union_find(edges)
+            if vertices is not None:
+                singles = (
+                    vertices.select("conv_id")
+                    .join(clusters, "conv_id", "left_anti")
+                    .withColumn("cluster_id", F.col("conv_id"))
+                )
+                clusters = clusters.unionByName(singles)
+            return clusters
+
     sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if n_partitions:
+        sym = sym.repartition(n_partitions, "src")
+    sym = sym.localCheckpoint(eager=True)
     nodes = sym.select(F.col("src").alias("conv_id")).distinct()
     labels = nodes.withColumn("label", F.col("conv_id")).localCheckpoint(eager=True)
 

@@ -56,10 +56,14 @@ def exact_clusters(docs: DataFrame, lazy_hash: bool = True) -> DataFrame:
     unconditionally — the produced CLUSTERS are identical either way (only
     the ``md5`` column's null-set differs), matching SURVEY §4's note.
     """
-    hashed = mark_needs_hash(docs).withColumn(
-        "md5",
-        F.when(F.col("needs_hash") | F.lit(not lazy_hash), F.md5(F.col("doc"))),
-    )
+    if lazy_hash:
+        hashed = mark_needs_hash(docs).withColumn(
+            "md5", F.when(F.col("needs_hash"), F.md5(F.col("doc")))
+        )
+    else:
+        # eager path skips the needs_hash window entirely — one full
+        # shuffle+sort of the corpus saved; clusters are identical
+        hashed = docs.withColumn("md5", F.md5(F.col("doc")))
     # Tier 3: doc participates in the grouping key => string-identity verify.
     # n_turns is ALSO in the key: the dup contract is per-turn text equality
     # (BASELINE.json input_hint), and a turn containing the '\n' separator
