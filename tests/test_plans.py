@@ -13,6 +13,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
+    # earlier test modules may have cached the same tables; a cached
+    # relation rewrites the plan (InMemoryTableScan / ReusedExchange) and
+    # hides the scan-level properties these tests assert
+    df.sparkSession.catalog.clearCache()
     return df._jdf.queryExecution().executedPlan().toString()
 
 
