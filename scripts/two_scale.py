@@ -2,19 +2,23 @@
 """Two-scale throughput protocol (P13): the sandbox proxy for the north
 rule's "N vs 4N executors with scaling efficiency >= 0.8".
 
-Runs the SAME flagship dedup job on the SAME generated input at local[8]
-and local[32] (each in a fresh JVM via subprocess — a local master cannot be
-resized in-process), reports turns/sec at both plus
-efficiency = (T_8 / T_32) / 4, and writes BENCH/BASELINE.md.
+Runs the SAME flagship dedup job on the SAME generated input (6.7M turns)
+at two cluster sizes built from REAL executor JVMs (`local-cluster`, fresh
+JVMs per leg via subprocess), reports turns/sec at both plus
+efficiency = (T_N / T_4N) / 4, and writes BENCH/BASELINE.md.
 
-Wall time measures the JOB (first action to last), not JVM boot — on a real
-cluster executor startup is likewise outside the steady-state throughput
-metric. The fixture is sized so compute dominates scheduling overhead
-(~200k turns); tiny inputs measure Spark's constant costs, not scaling.
+Measurement rules that made the numbers reproducible on this VM (each one
+was learned the hard way; see BENCH/BASELINE.md for the findings):
+separate executor JVMs with explicit `spark.executor.memory` and
+`-XX:ActiveProcessorCount`; AQE off while measuring; partitions sized to
+data, not cluster; Python worker pool warmed outside the timed region;
+min-of-2 runs per leg; wall time measures the job, not JVM boot.
 
 Usage:
     python scripts/two_scale.py               # full protocol -> BENCH/BASELINE.md
     python scripts/two_scale.py --run 8       # single measurement (JSON line)
+    SPARK_GRAFT_LEGS=8,32 python scripts/two_scale.py   # saturated pair
+    SPARK_GRAFT_STAGE_LAPS=1 ... --run 8      # per-stage diagnostics
 """
 
 from __future__ import annotations
@@ -55,11 +59,11 @@ def run_once(cores: int) -> dict:
 
     cfg = DedupConfig()
     # N vs 4N EXECUTORS, literally: local-cluster spawns separate executor
-    # JVMs (4 cores / 6g each — a realistic executor shape). A single
-    # local[32] JVM measures one JVM's GC/scheduler contention at 32 task
-    # threads, which no real cluster runs; executor-per-JVM is the deploy
-    # model spark-submit targets. Override with SPARK_GRAFT_LOCAL=1 to use
-    # plain local[N].
+    # JVMs (up to 4 cores / 8g heap each — a realistic executor shape). A
+    # single local[32] JVM measures one JVM's GC/scheduler contention at 32
+    # task threads, which no real cluster runs; executor-per-JVM is the
+    # deploy model spark-submit targets. Override with SPARK_GRAFT_LOCAL=1
+    # to use plain local[N].
     exec_cores = 4 if cores >= 4 else cores
     if os.environ.get("SPARK_GRAFT_LOCAL"):
         master = f"local[{cores}]"
