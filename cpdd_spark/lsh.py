@@ -131,7 +131,12 @@ def pairs_from_buckets(
         )
     )
 
-    return pairs.unionByName(chain_pairs).distinct()
+    # materialize the (small, O(candidates)) result eagerly so `grouped`'s
+    # cache can be released right away — leaked persists across a multi-query
+    # session otherwise accumulate until storage eviction pressure builds
+    result = pairs.unionByName(chain_pairs).distinct().localCheckpoint(eager=True)
+    grouped.unpersist()
+    return result
 
 
 def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:

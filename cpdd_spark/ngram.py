@@ -28,12 +28,20 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     tier's ``str.split()`` so n-gram Jaccard and MinHash-verified Jaccard
     are the same quantity on multi-line documents."""
     toks = F.split(F.col(text_col), r"\s+")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        )
-    )
+    # Guard sub-n-token docs: F.sequence(0, size-n) counts DOWN when
+    # size < n (e.g. [0,-1]) and F.slice at a negative start throws
+    # INVALID_PARAMETER_VALUE.START — so short docs must short-circuit to an
+    # empty gram set (they carry no n-grams by definition; the exact tier
+    # owns sub-shingle docs, same convention as the LSH screen).
+    grams = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), grams.alias("grams"))
         .filter(F.size(F.col("grams")) > 0)
@@ -42,21 +50,52 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 5, tau: float = 0.7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    tau: float = 0.7,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """``(a, b, jaccard)`` for all pairs with exact n-gram Jaccard >= tau.
 
     Plan: explode distinct n-grams -> self-join on shingle (the inverted
     index; Catalyst shuffles once on the shingle key) -> per-pair
-    intersection counts -> Jaccard from inclusion-exclusion. Ultra-common
-    shingles are the skew hazard; at scale prepend a shingle-frequency cap
-    (drop postings longer than L) — omitted here to keep exact semantics.
+    intersection counts -> Jaccard from inclusion-exclusion.
+
+    ``max_doc_freq`` is the skew/scale valve: the self-join is
+    O(sum_s df(s)^2) over shingle document frequencies, so ONE boilerplate
+    shingle shared by 10^6 docs is 10^12 join rows. With a cap L, postings
+    of shingles with df > L are dropped from the index (both join sides)
+    BEFORE the self-join, bounding any shingle's contribution to L^2 rows.
+    Consequences, both deliberate:
+
+    - Jaccard denominators (na, nb) keep the FULL distinct-gram counts, so
+      surviving pairs report their true Jaccard — the cap only UNDERcounts
+      intersections, i.e. recall loss, never false positives;
+    - a pair whose every shared shingle is ultra-common (pure boilerplate
+      overlap) is missed — at scale those docs are either byte-identical
+      (exact tier's jurisdiction) or caught by the MinHash/LSH path, which
+      has no df blind spot.
+
+    ``max_doc_freq=None`` keeps exact semantics (the DuckDB oracle twin).
     """
     sets = ngram_sets(df, id_col, text_col, n).persist()  # self-join input
-    left = sets.select(
+    postings = sets
+    if max_doc_freq is not None:
+        common = (
+            sets.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        # broadcast anti-join: the over-cap shingle list is tiny by
+        # construction (few shingles can exceed a large df)
+        postings = sets.join(F.broadcast(common), "shingle", "left_anti")
+    left = postings.select(
         F.col("id").alias("a"), F.col("n_grams").alias("na"), "shingle"
     )
-    right = sets.select(
+    right = postings.select(
         F.col("id").alias("b"), F.col("n_grams").alias("nb"), "shingle"
     )
     inter = (
@@ -65,7 +104,7 @@ def jaccard_pairs(
         .groupBy("a", "b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    return (
+    result = (
         inter.withColumn(
             "jaccard",
             F.col("c").cast("double")
@@ -73,4 +112,10 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= tau)
         .select("a", "b", "jaccard")
+        # materialize now (pairs are O(duplicates), tiny next to the index)
+        # so the persisted index can be released immediately — repeated
+        # invocations in one session must not accumulate cached blocks
+        .localCheckpoint(eager=True)
     )
+    sets.unpersist()
+    return result

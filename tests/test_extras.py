@@ -76,6 +76,36 @@ def test_ngram_jaccard_matches_bruteforce(spark, docs):
         assert abs(got[k] - exp[k]) < 1e-12
 
 
+def test_ngram_short_docs_dont_crash(spark):
+    """Regression: F.sequence(0, size-n) counts DOWN for sub-n-token docs and
+    F.slice threw INVALID_PARAMETER_VALUE.START — 1-token docs crashed every
+    query routed through jaccard_pairs."""
+    df = spark.createDataFrame(
+        [("d0", "one"), ("d1", ""), ("d2", "a b"), ("d3", "w x y z q r s t"),
+         ("d4", "w x y z q r s t")],
+        "id string, text string",
+    )
+    got = {(r["a"], r["b"]) for r in jaccard_pairs(df, "id", "text", n=5).collect()}
+    assert got == {("d3", "d4")}
+
+
+def test_ngram_posting_cap_bounds_join(spark):
+    """max_doc_freq drops over-cap postings: a shingle shared by all docs
+    stops generating pairs, while rare-shingle pairs survive with their TRUE
+    (full-denominator) Jaccard."""
+    boiler = "alpha beta gamma delta epsilon"
+    rare = "zeta eta theta iota kappa"
+    rows = [(f"b{i}", boiler) for i in range(30)] + [
+        ("r1", rare), ("r2", rare)
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    # uncapped: 30 boilerplate docs -> C(30,2)=435 pairs + the rare pair
+    assert jaccard_pairs(df, "id", "text", n=5, tau=0.5).count() == 436
+    capped = jaccard_pairs(df, "id", "text", n=5, tau=0.5, max_doc_freq=10)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {("r1", "r2"): 1.0}
+
+
 def test_cosine_topk_self_consistent(spark, embs):
     queries = embs.filter("vec_id < 5")
     got = cosine_topk(embs, queries, k=3).collect()
