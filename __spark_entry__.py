@@ -39,7 +39,7 @@ from cpdd_spark.multimodal import attach_payload, extract_features
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.session import ship_package
 from cpdd_spark.signatures import compute_signatures
-from cpdd_spark.similarity import cosine_dup_pairs, cosine_topk, lsh_topk
+from cpdd_spark.similarity import cosine_dup_pairs_lsh, cosine_topk, lsh_topk
 from cpdd_spark.substring import substring_pairs
 from cpdd_spark.textfuncs import (
     fingerprint,
@@ -296,8 +296,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at 0.8."""
-    return cosine_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.8)
+    """Embedding-cosine near-dup pairs at 0.8 via the LSH screen + exact
+    cosine verify (no crossJoin anywhere in the plan; the brute-force
+    :func:`cosine_dup_pairs` survives only as the DuckDB oracle twin and
+    recall baseline in tests)."""
+    return cosine_dup_pairs_lsh(
+        _read(spark, sf_dir, "embeddings"), threshold=0.8, dim=64
+    )
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

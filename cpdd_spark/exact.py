@@ -46,7 +46,9 @@ def mark_needs_hash(docs: DataFrame) -> DataFrame:
     return docs.withColumn("needs_hash", F.count(F.lit(1)).over(w) > F.lit(1))
 
 
-def exact_clusters(docs: DataFrame, lazy_hash: bool = True) -> DataFrame:
+def exact_clusters(
+    docs: DataFrame, lazy_hash: bool = True, verify: str = "bytes"
+) -> DataFrame:
     """``documents(conv_id, n_turns, doc_len, doc)`` ->
     ``exact_clusters(conv_id, doc_len, md5, cluster_id, cluster_size)``.
 
@@ -55,7 +57,39 @@ def exact_clusters(docs: DataFrame, lazy_hash: bool = True) -> DataFrame:
     the shuffle, so callers may pass ``lazy_hash=False`` to hash
     unconditionally — the produced CLUSTERS are identical either way (only
     the ``md5`` column's null-set differs), matching SURVEY §4's note.
+
+    ``verify`` picks the tier-3 guarantee/shuffle trade:
+
+    - ``'bytes'`` (default): the full document joins the grouping key, so
+      membership is literal string identity — cpdd's byte-verify, bit-for-bit
+      (matching.c:30-59). Cost: the window shuffles full document text.
+    - ``'fingerprint'``: group on ``(n_turns, doc_len, md5, xxhash64)`` — two
+      INDEPENDENT hash families plus exact length/turn counts. A false merge
+      needs a simultaneous md5+xxhash64 collision at equal length (~2^-192);
+      in exchange the shuffle payload drops from the corpus text to ~50
+      bytes/doc, because Catalyst prunes ``doc`` the moment both digests are
+      computed map-side (the window never references it). This is the 10^12-
+      turn mode; docs/SCALE.md:107-110 designs it, and tests prove the two
+      modes produce identical clusters on dup-heavy fixtures. Implies eager
+      hashing (a lazy tier-2 would itself shuffle the text to find size
+      collisions, defeating the point).
     """
+    if verify == "fingerprint":
+        hashed = docs.select(
+            "conv_id",
+            "n_turns",
+            "doc_len",
+            F.md5(F.col("doc")).alias("md5"),
+            F.xxhash64(F.col("doc")).alias("xxh64"),
+        )
+        grp = Window.partitionBy("n_turns", "doc_len", "md5", "xxh64")
+        return (
+            hashed.withColumn("cluster_id", F.min("conv_id").over(grp))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(grp))
+            .select("conv_id", "doc_len", "md5", "cluster_id", "cluster_size")
+        )
+    if verify != "bytes":
+        raise ValueError(f"verify must be 'bytes' or 'fingerprint', got {verify!r}")
     if lazy_hash:
         hashed = mark_needs_hash(docs).withColumn(
             "md5", F.when(F.col("needs_hash"), F.md5(F.col("doc")))

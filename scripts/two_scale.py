@@ -123,8 +123,13 @@ def run_once(cores: int) -> dict:
 
     t0 = time.time()
     t = t0
+    # fingerprint verify: the exact tier groups on (n_turns, doc_len, md5,
+    # xxhash64) so the corpus TEXT shuffles exactly once (in assembly) —
+    # round-1 shuffled it three times and the shared host disk was the
+    # measured scaling floor. Clusters are identical to byte-verify mode
+    # (tests/test_exact.py::test_fingerprint_mode_matches_bytes).
     docs = assemble_documents(turns).persist()
-    exact = exact_clusters(docs).persist()
+    exact = exact_clusters(docs, lazy_hash=False, verify="fingerprint").persist()
     if instrument:
         docs.count(); t = lap("assemble", t)
         exact.count(); t = lap("exact", t)

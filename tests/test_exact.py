@@ -91,6 +91,37 @@ def test_lazy_hash_matches_eager(spark, turns_df):
     assert lazy == eager
 
 
+def test_fingerprint_mode_matches_bytes(spark, turns_df):
+    """The scale mode (group on dual digests, no doc in the shuffle) must
+    produce the identical clustering as byte-verify mode."""
+    docs = assemble_documents(turns_df)
+    by_bytes = {
+        r["conv_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in exact_clusters(docs, lazy_hash=False).collect()
+    }
+    by_fp = {
+        r["conv_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in exact_clusters(docs, verify="fingerprint").collect()
+    }
+    assert by_bytes == by_fp
+
+
+def test_fingerprint_mode_prunes_doc_from_shuffle(spark, turns_df):
+    """In fingerprint mode the window partitions on digests only — the doc
+    column must not appear in the Window spec (it is pruned before the
+    exchange; in bytes mode it IS the verify and must appear)."""
+    docs = assemble_documents(turns_df)
+
+    def window_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [l for l in plan.splitlines() if "Window [" in l or "Window(" in l]
+
+    fp_lines = window_lines(exact_clusters(docs, verify="fingerprint"))
+    assert fp_lines and all("doc#" not in l for l in fp_lines)
+    byte_lines = window_lines(exact_clusters(docs, lazy_hash=False))
+    assert byte_lines and any("doc#" in l for l in byte_lines)
+
+
 def test_needs_hash_is_size_collision(spark, turns_df):
     docs = assemble_documents(turns_df)
     marked = mark_needs_hash(docs).select("conv_id", "doc_len", "needs_hash").toPandas()

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.signatures import exact_jaccard_sets
-from cpdd_spark.similarity import cosine_dup_pairs, cosine_topk, lsh_topk
+from cpdd_spark.similarity import (
+    cosine_dup_pairs,
+    cosine_dup_pairs_lsh,
+    cosine_topk,
+    lsh_topk,
+)
 from cpdd_spark.textfuncs import profile
 
 SF = "/root/testdata/sf0.001"
@@ -143,6 +148,40 @@ def test_lsh_topk_recall(spark, embs):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx}
     assert len(e & a) / len(e) >= 0.6
+
+
+def test_cosine_dup_pairs_lsh_matches_bruteforce(spark):
+    """Planted near-dup embeddings: the bucketed path must find exactly the
+    brute-force pair set (planted pairs sit at cosine ~0.97+, where the
+    multi-table miss probability is ~1e-20 — and the seeded sketches make
+    the run deterministic either way)."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant 10 near-dups: vector i+100 = vector i + small noise
+    for i in range(10):
+        noisy = base[i] + rng.normal(scale=0.05, size=64).astype(np.float32)
+        rows.append((i + 100, noisy.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_dup_pairs(df, threshold=0.9).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in cosine_dup_pairs_lsh(df, threshold=0.9, dim=64).collect()
+    }
+    assert len(brute) >= 10
+    assert lsh == brute
+
+
+def test_embed_dup_pairs_plan_has_no_cartesian(spark):
+    """The driver's embed_dup_pairs must never cross-join the corpus."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["embed_dup_pairs"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
 def test_multimodal_plumbing(spark, docs):
