@@ -377,6 +377,164 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# relational / analytics queries over the TPC-H-shaped tables
+#
+# Cross-engine float discipline: SUM(double) is partition-order-dependent in
+# Spark and sequential in DuckDB — never hash-comparable. Every money/qty sum
+# casts per-row values to DECIMAL first (exact, order-independent), sums in
+# decimal, and casts the exact total to DOUBLE at the end; per-row double
+# products (price * (1 - discount)) are deterministic IEEE ops identical in
+# both engines, and a double's cast to decimal cannot tie (no binary double
+# lands exactly on a .5 ulp of 10^-6), so rounding agrees everywhere.
+# ---------------------------------------------------------------------------
+
+def _dec_sum(col, scale: int = 6):
+    """Order-independent sum of a double expression: exact decimal
+    accumulation, double rendering."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy filtered aggregation with derived measures.
+    Pushdown target: the shipdate filter and 7-column projection must reach
+    the parquet scan (guarded by tests/test_plans.py)."""
+    li = _read(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            _dec_sum(disc_price).alias("sum_disc_price"),
+            _dec_sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + filtered aggregation + deterministic
+    top-10 (rank ties broken by orderkey). customer is dim-sized here but
+    corpus-sized at SF 100k, so no broadcast hint — AQE decides."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    revenue = _dec_sum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).alias("revenue")
+    agg = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue)
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "rank",
+        )
+    )
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; nation/region/supplier are true
+    dimension tables at every scale and are explicitly broadcast — the big
+    fact tables co-shuffle once on the join keys."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    cust = _read(spark, sf_dir, "customer")
+    supp = F.broadcast(_read(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_read(spark, sf_dir, "nation"))
+    region = F.broadcast(
+        _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    revenue = _dec_sum(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).alias("revenue")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            supp,
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(nation, supp["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(revenue)
+    )
+
+
+def q_parts_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS shape: parts with no shipment after 2001-01-01 (left anti
+    join — Spark's distributed NOT IN without the null trap; the date filter
+    keeps the probe side selective AND the result non-empty at every SF)."""
+    part = _read(spark, sf_dir, "part")
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("2001-01-01").cast("timestamp_ntz"))
+        .select("l_partkey")
+    )
+    return part.join(
+        li, part["p_partkey"] == li["l_partkey"], "left_anti"
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+def q_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS shape: suppliers with at least one shipment after 2000-06-01
+    (left semi join: no duplicate blowup, no distinct needed)."""
+    supp = _read(spark, sf_dir, "supplier")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp_ntz")
+    )
+    return supp.join(
+        li, supp["s_suppkey"] == li["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP reporting: order counts + exact total price at
+    (status, priority), (status), and grand-total levels; rolled-up keys
+    rendered as 'ALL' so the output is engine-sortable."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dec_sum(F.col("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -402,6 +560,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
+        # relational/analytics breadth over the TPC-H-shaped tables
+        "pricing_summary": q_pricing_summary,
+        "ship_priority": q_ship_priority,
+        "region_revenue": q_region_revenue,
+        "parts_unordered": q_parts_unordered,
+        "active_suppliers": q_active_suppliers,
+        "order_priority_rollup": q_order_priority_rollup,
         # hash-dependent / approximate: no SQL oracle (rows-only checks)
         "simhash_pairs": q_simhash_pairs,
         "substring_pairs": q_substring_pairs,
@@ -517,5 +682,72 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
                COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2
+        """,
+        "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+          CAST(COUNT(*) AS BIGINT) AS count_order,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "ship_priority": """
+        WITH agg AS (
+          SELECT l_orderkey,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+            o_orderdate, o_orderpriority
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_shipdate > TIMESTAMP '1998-01-01'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        )
+        SELECT l_orderkey, revenue,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+               o_orderpriority, CAST(rn AS INT) AS rank
+        FROM (SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rn FROM agg)
+        WHERE rn <= 10
+        """,
+        "region_revenue": """
+        SELECT n_name,
+          CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """,
+        "parts_unordered": """
+        SELECT p_partkey, p_name, p_brand FROM part p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_partkey = p.p_partkey AND l.l_shipdate > TIMESTAMP '2001-01-01'
+        )
+        """,
+        "active_suppliers": """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate > TIMESTAMP '2000-06-01'
+        )
+        """,
+        "order_priority_rollup": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
     }

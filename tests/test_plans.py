@@ -41,6 +41,28 @@ def test_assemble_plan_shape(spark, turns_df):
     assert "Sort [" not in plan
 
 
+def test_pricing_summary_pushdown(spark):
+    """The Q1-shape scan must push the shipdate filter into the parquet
+    reader (raw TIMESTAMP_NTZ comparison — a to_date() wrapper would block
+    pushdown) and prune to the 7 referenced columns."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["pricing_summary"](spark, SF))
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "LessThanOrEqual(l_shipdate" in scan  # pushed filter
+    assert "l_orderkey" not in scan and "l_partkey" not in scan  # pruned
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    """The Q5-shape star join must broadcast the dimension tables, not
+    shuffle the fact table against them."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["region_revenue"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "CartesianProduct" not in plan
+
+
 def test_exact_eager_path_skips_window(spark, turns_df):
     from cpdd_spark.exact import exact_clusters
 
