@@ -336,7 +336,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P11 winnowed substring pass (hash-dependent: rows-only check)."""
+    """P11 winnowed substring pass. Deterministic: emits exactly the pairs
+    sharing a token run >= R = substring_w + winnow_window - 1 = 37 (the
+    winnowing guarantee zone), so a DuckDB R-gram inverted index is an exact
+    oracle."""
     return substring_pairs(_assembled(spark, sf_dir), CFG)
 
 
@@ -567,9 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_unordered": q_parts_unordered,
         "active_suppliers": q_active_suppliers,
         "order_priority_rollup": q_order_priority_rollup,
+        "substring_pairs": q_substring_pairs,
         # hash-dependent / approximate: no SQL oracle (rows-only checks)
         "simhash_pairs": q_simhash_pairs,
-        "substring_pairs": q_substring_pairs,
         "signatures": q_signatures,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_features": q_multimodal_features,
@@ -742,6 +745,22 @@ def oracle_sql() -> dict[str, str]:
           SELECT 1 FROM lineitem l
           WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate > TIMESTAMP '2000-06-01'
         )
+        """,
+        "substring_pairs": SQL_PRELUDE
+        + """
+        , g37 AS (
+          SELECT conv_id AS id, unnest(gset) AS g
+          FROM (
+            SELECT conv_id,
+                   list_distinct(list_transform(range(len(tk) - 36),
+                                 i -> array_to_string(list_slice(tk, i + 1, i + 37), ' '))) AS gset
+            FROM (SELECT conv_id, regexp_split_to_array(doc, '\\s+') AS tk FROM docs2)
+            WHERE len(tk) >= 37
+          )
+        )
+        SELECT l.id AS a, r.id AS b, CAST(COUNT(*) AS BIGINT) AS n_common_runs
+        FROM g37 l JOIN g37 r ON l.g = r.g AND l.id < r.id
+        GROUP BY l.id, r.id
         """,
         "order_priority_rollup": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,

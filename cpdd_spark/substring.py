@@ -20,15 +20,19 @@ same guarantee we need:
   IDENTICAL selected fingerprint in both documents;
 - join documents on fingerprints (skew-aware, same bucket machinery as
   LSH — boilerplate blocks are exactly the hot buckets);
-- verify candidates by re-intersecting FULL (unwinnowed) W-gram hash sets:
-  a shared W-gram *is* an exact common W-token run (collision odds 2^-64),
-  mirroring "a hash match is never trusted without verification"
-  (matching.c:77-83).
+- verify candidates by re-intersecting FULL (unwinnowed)
+  ``R = substring_w + winnow_window - 1``-gram hash sets: a shared R-gram
+  *is* an exact common R-token run (collision odds 2^-64), mirroring "a
+  hash match is never trusted without verification" (matching.c:77-83).
 
-The effective guaranteed detection length is
-``substring_w + winnow_window - 1`` tokens; runs in [substring_w, that)
-are detected with high probability but not guaranteed — the standard
-winnowing trade. Fixtures splice ``substring_run=60 >= 30+8-1`` tokens.
+Verifying at R (not at W) makes the OUTPUT deterministic: winnowing
+GUARANTEES a common selected fingerprint for any shared run >= R tokens, so
+candidate recall is exactly 1.0 for the emitted predicate "shares a token
+run >= R" and the result is a pure function of the corpus — which is what
+lets the driver value-hash it against a DuckDB R-gram inverted index.
+(Verifying at W would also emit runs in [W, R) that happen to be winnow-
+selected — higher recall but hash-dependent output, untestable by oracle.)
+Fixtures splice ``substring_run=60 >= 37`` tokens.
 """
 
 from __future__ import annotations
@@ -45,7 +49,7 @@ from cpdd_spark.lsh import pairs_from_buckets
 from cpdd_spark.signatures import shingle_hashes
 
 FP_SCHEMA = "conv_id string, fp long"
-SUBSTR_SCHEMA = "a string, b string, n_common_windows long"
+SUBSTR_SCHEMA = "a string, b string, n_common_runs long"
 
 
 def _winnow(h: np.ndarray, k: int) -> np.ndarray:
@@ -93,16 +97,20 @@ def fingerprints(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def substring_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Verified substring-duplicate pairs ``(a, b, n_common_windows)``.
+    """Verified substring-duplicate pairs ``(a, b, n_common_runs)``:
+    ``n_common_runs`` counts the distinct shared R-token windows
+    (R = substring_w + winnow_window - 1), > 0 iff the pair shares a
+    contiguous token run of at least R tokens.
 
-    Candidates come from fingerprint-bucket joins (skew-aware); verification
-    re-intersects the FULL W-gram hash sets of each candidate pair, so every
-    reported pair truly shares >= 1 exact W-token run.
+    Candidates come from fingerprint-bucket joins (skew-aware, recall 1.0
+    for the R guarantee); verification re-intersects the FULL R-gram hash
+    sets of each candidate pair — deterministic, oracle-checkable (see
+    module docstring).
     """
     fps = fingerprints(docs, cfg)
     cands = pairs_from_buckets(fps, ["fp"], cfg)
 
-    w = cfg.substring_w
+    w = cfg.substring_w + cfg.winnow_window - 1
     da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
     db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
     joined = cands.join(da, "a").join(db, "b").select("a", "b", "doc_a", "doc_b")
@@ -123,11 +131,11 @@ def substring_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
                 {
                     "a": pdf["a"].to_numpy(),
                     "b": pdf["b"].to_numpy(),
-                    "n_common_windows": common,
+                    "n_common_runs": common,
                 }
             )
 
     return (
         joined.mapInPandas(kernel, schema=SUBSTR_SCHEMA)
-        .filter(F.col("n_common_windows") >= 1)
+        .filter(F.col("n_common_runs") >= 1)
     )

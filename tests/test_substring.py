@@ -46,8 +46,8 @@ def test_winnow_deterministic_alignment():
 
 
 def test_substring_dups_found(spark, turns_df, truth_pdf):
-    """Every planted substring_dup (60 spliced tokens >= W + k - 1 = 37)
-    must pair with its source; pairs are verified (n_common_windows >= 1)."""
+    """Every planted substring_dup (60 spliced tokens >= R = W + k - 1 = 37)
+    must pair with its source; pairs are verified (n_common_runs >= 1)."""
     docs = assemble_documents(turns_df).cache()
     got = {
         tuple(sorted([r["a"], r["b"]]))
@@ -60,15 +60,24 @@ def test_substring_dups_found(spark, turns_df, truth_pdf):
         assert pair in got, pair
 
 
-def test_substring_no_false_verification(spark, turns_df):
-    """Reported pairs really share a W-token run: re-check one pair by
-    brute force over token windows."""
+def test_substring_output_is_exactly_bruteforce_rgram_pairs(spark, turns_df):
+    """Deterministic contract: the emitted set IS the brute-force
+    'shares >= 1 R-token window' pair set, with exact counts — not just a
+    winnowing-dependent subset (this is what the DuckDB oracle checks)."""
     docs = assemble_documents(turns_df).cache()
-    pairs = substring_pairs(docs, CFG).limit(3).collect()
-    texts = {r["conv_id"]: r["doc"] for r in docs.collect()}
-    w = CFG.substring_w
-    for r in pairs:
-        ta, tb = texts[r["a"]].split(), texts[r["b"]].split()
-        wins_a = {tuple(ta[i : i + w]) for i in range(len(ta) - w + 1)}
-        wins_b = {tuple(tb[i : i + w]) for i in range(len(tb) - w + 1)}
-        assert len(wins_a & wins_b) == r["n_common_windows"]
+    got = {
+        (r["a"], r["b"]): r["n_common_runs"]
+        for r in substring_pairs(docs, CFG).collect()
+    }
+    texts = sorted((r["conv_id"], r["doc"]) for r in docs.collect())
+    r_w = CFG.substring_w + CFG.winnow_window - 1
+    import itertools
+
+    exp = {}
+    for (ca, ta), (cb, tb) in itertools.combinations(texts, 2):
+        wa = {tuple(ta.split()[i : i + r_w]) for i in range(len(ta.split()) - r_w + 1)}
+        wb = {tuple(tb.split()[i : i + r_w]) for i in range(len(tb.split()) - r_w + 1)}
+        n = len(wa & wb)
+        if n:
+            exp[(ca, cb)] = n
+    assert got == exp
