@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 SEP = "\n"
 
 
-def assemble_documents(turns: DataFrame) -> DataFrame:
+def assemble_documents(turns: DataFrame, keep_metadata: bool = False) -> DataFrame:
     """``transcripts(conv_id, turn_idx, role, text, tool, ts)`` ->
     ``documents(conv_id, n_turns, doc_len, doc)``.
 
@@ -34,19 +34,35 @@ def assemble_documents(turns: DataFrame) -> DataFrame:
     struct sort restores ``turn_idx`` order deterministically. ``turn_idx``
     leads the struct so ``array_sort`` orders by it; texts are recovered by
     projection afterwards.
+
+    ``keep_metadata=True`` additionally carries the full per-turn attribute
+    structs through as a ``turns`` column (turn_idx-ordered
+    array<struct<turn_idx, role, text, tool, ts>>) — the transcript analogue
+    of cpdd preserving mtime/mode/ownership on copy
+    (/root/reference/src/cpdd/copy.c:99-128): the original conversation is
+    reconstructible from the deduped output. Same single shuffle either way;
+    the default drops attributes so dedup tiers shuffle minimal rows.
     """
-    return (
+    meta_cols = (
+        [F.col("role"), F.col("text"), F.col("tool"), F.col("ts")]
+        if keep_metadata
+        else [F.col("text")]
+    )
+    base = (
         turns.groupBy("conv_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+                F.collect_list(F.struct(F.col("turn_idx"), *meta_cols))
             ).alias("turns")
         )
         .select(
             "conv_id",
             F.size("turns").cast("long").alias("n_turns"),
             F.concat_ws(SEP, F.transform("turns", lambda t: t["text"])).alias("doc"),
+            "turns",
         )
         .withColumn("doc_len", F.length("doc").cast("long"))
-        .select("conv_id", "n_turns", "doc_len", "doc")
     )
+    if keep_metadata:
+        return base.select("conv_id", "n_turns", "doc_len", "doc", "turns")
+    return base.select("conv_id", "n_turns", "doc_len", "doc")

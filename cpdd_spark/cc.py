@@ -65,7 +65,12 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, "conv_id string, cluster_id string")
 
 
-DRIVER_CC_MAX_EDGES = 5_000_000
+# Driver path bound: ~60 bytes/edge in the Arrow frame -> ~30 MB collected
+# at the cap, plus the same again for the result createDataFrame. The prior
+# 5M bound risked several hundred MB of driver heap for long conv_ids;
+# 500k keeps the driver hop strictly cheap — anything larger runs the
+# distributed rounds (which tests prove equivalent).
+DRIVER_CC_MAX_EDGES = 500_000
 
 
 def connected_components(

@@ -1,0 +1,111 @@
+"""Command-line driver: ``python -m cpdd_spark`` (R19).
+
+The transcript-pipeline analogue of cpdd's CLI
+(/root/reference/src/cpdd/args.c:64-232, option-for-option where the
+concept survives the translation to tables):
+
+==============================  ==========================================
+cpdd (file tree)                cpdd_spark (transcript tables)
+==============================  ==========================================
+``SOURCE... DESTINATION``       ``--input DIR...`` (turn parquet dirs,
+                                unioned — R2 multi-source) / ``--workdir``
+``-r/--reference DIR``          the workdir's accumulated stage tables ARE
+                                the reference index (probe-on-resume)
+``-L/-s`` (hard/symbolic link)  ``--link materialize|edges`` (copy content
+                                vs emit pointer rows)
+``-n/--no-clobber``             ``--no-resume`` OFF by default: committed
+                                stages are never overwritten (resume)
+``-p/--preserve``               ``--preserve`` (carry role/tool/ts structs
+                                through assembly, R14)
+``--stats`` / ``-h``            ``--stats`` (disposition summary with
+                                human-readable bytes, R16)
+``-v``                          ``-v`` (Spark log level INFO instead of
+                                WARN)
+==============================  ==========================================
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from cpdd_spark.config import DedupConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="cpdd_spark",
+        description="Transcript-scale near-duplicate detection and clustering",
+    )
+    p.add_argument(
+        "--input", action="append", required=True,
+        help="turns parquet directory (repeatable; sources are unioned)",
+    )
+    p.add_argument("--workdir", required=True, help="stage-table directory")
+    p.add_argument(
+        "--link", choices=["edges", "materialize"], default="edges",
+        help="clusters output mode: pointer rows or canonical-doc copies",
+    )
+    p.add_argument(
+        "--no-resume", action="store_true",
+        help="recompute every stage even if committed output exists",
+    )
+    p.add_argument(
+        "--no-substring", action="store_true",
+        help="skip the winnowed substring pass",
+    )
+    p.add_argument(
+        "--preserve", action="store_true",
+        help="carry per-turn role/tool/ts metadata into the documents table",
+    )
+    p.add_argument("--stats", action="store_true", help="print dedup statistics")
+    p.add_argument("--tau", type=float, default=None, help="Jaccard threshold")
+    p.add_argument("--master", default="local[*]", help="Spark master URL")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from cpdd_spark.pipeline import DedupPipeline
+    from cpdd_spark.session import get_spark
+
+    cfg = DedupConfig() if args.tau is None else DedupConfig(tau=args.tau)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(master=args.master, app_name="cpdd_spark_cli")
+    if args.verbose:
+        spark.sparkContext.setLogLevel("INFO")
+    try:
+        turns = spark.read.parquet(*args.input)
+        if args.preserve:
+            # materialize a metadata-preserving documents table alongside
+            # the pipeline's lean one (R14)
+            from cpdd_spark.assemble import assemble_documents
+            from cpdd_spark.io import TableIO
+
+            io = TableIO(spark, args.workdir)
+            io.write(assemble_documents(turns, keep_metadata=True), "documents_meta")
+        pipe = DedupPipeline(
+            spark, args.workdir, cfg=cfg, enable_substring=not args.no_substring
+        )
+        clusters = pipe.run(turns, resume=not args.no_resume, link_mode=args.link)
+        n = clusters.count()
+        print(f"clusters table committed: {n} rows -> {args.workdir}/clusters")
+        for stage, how in pipe.stage_log:
+            print(f"  stage {stage}: {how}")
+        if args.stats:
+            for r in pipe.stats().collect():
+                print(
+                    f"  {r['disposition']}: {r['convs']} convs, "
+                    f"{r['bytes']} bytes ({r['bytes_h']})"
+                )
+        return 0
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,7 +39,28 @@ from cpdd_spark.io import TableIO
 from cpdd_spark.lsh import candidate_pairs
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.substring import substring_pairs
+from cpdd_spark.textfuncs import human_bytes
 from cpdd_spark.verify import verify_pairs
+
+
+def materialize_clusters(clusters: DataFrame, docs: DataFrame) -> DataFrame:
+    """R12 link-type 'hard/copy' mode (link_type_t,
+    /root/reference/include/cpdd.h:46-50; copy_or_link copy.c:242-338):
+    every cluster member row carries its CANONICAL's document content, so
+    downstream consumers read deduplicated bytes without resolving edges —
+    the storage analogue of cpdd materializing a link/copy per duplicate
+    file. The default 'edges' mode emits only (conv_id, cluster_id) rows
+    (cpdd's soft-link/none analogue: pointer, no content).
+
+    One join, canonical side grouped first: the docs table is probed once
+    per distinct canonical, then fanned out to members — no doc ever
+    shuffles per-member."""
+    canon_docs = docs.select(
+        F.col("conv_id").alias("cluster_id"), F.col("doc").alias("canonical_doc")
+    )
+    return clusters.join(canon_docs, "cluster_id").select(
+        "conv_id", "cluster_id", "canonical_doc"
+    )
 
 
 class DedupPipeline:
@@ -99,8 +120,17 @@ class DedupPipeline:
 
     # ---- the pipeline ----------------------------------------------------
 
-    def run(self, turns: DataFrame, resume: bool = True) -> DataFrame:
-        """turns -> final ``clusters(conv_id, cluster_id)`` table."""
+    def run(
+        self, turns: DataFrame, resume: bool = True, link_mode: str = "edges"
+    ) -> DataFrame:
+        """turns -> final ``clusters(conv_id, cluster_id)`` table.
+
+        ``link_mode='materialize'`` additionally writes a ``clusters_docs``
+        table with each member's canonical document (see
+        :func:`materialize_clusters`); ``'edges'`` writes pointers only.
+        """
+        if link_mode not in ("edges", "materialize"):
+            raise ValueError(f"link_mode must be 'edges' or 'materialize', got {link_mode!r}")
         cfg = self.cfg
 
         docs = self._stage("documents", lambda: assemble_documents(turns), resume)
@@ -143,6 +173,12 @@ class DedupPipeline:
             lambda: connected_components(edges, vertices=docs.select("conv_id")),
             resume,
         )
+        if link_mode == "materialize":
+            self._stage(
+                "clusters_docs",
+                lambda: materialize_clusters(clusters, docs),
+                resume,
+            )
         return clusters
 
     # ---- reporting --------------------------------------------------------
@@ -166,4 +202,5 @@ class DedupPipeline:
                 F.count(F.lit(1)).alias("convs"),
                 F.sum("doc_len").alias("bytes"),
             )
+            .withColumn("bytes_h", human_bytes("bytes"))
         )

@@ -37,7 +37,7 @@ class IncrementalDedup:
     """Streaming exact-dedup into a clusters directory.
 
     ``clusters_dir`` holds the accumulated ``(conv_id, n_turns, doc_len,
-    md5, cluster_id)`` assignments; each micro-batch probes it and appends
+    md5, xxh64, cluster_id)`` assignments; each micro-batch probes it and appends
     rows for new conversations (first-seen conv of new content becomes its
     own canonical — min-key-wins within the batch for determinism).
     """
@@ -55,7 +55,17 @@ class IncrementalDedup:
         return None
 
     def process_batch(self, turns: DataFrame, batch_id: int = 0) -> None:
-        docs = assemble_documents(turns).withColumn("md5", F.md5("doc"))
+        # dual fingerprints: the cross-batch probe joins on BOTH hash
+        # families (+ exact length/turn counts) — the same relaxed-verify
+        # guarantee as exact_clusters(verify='fingerprint'): a wrong
+        # assignment needs simultaneous md5+xxhash64 collisions at equal
+        # length (~2^-192), vs the raw-md5 probe this replaces, which
+        # silently trusted a single 128-bit family
+        docs = (
+            assemble_documents(turns)
+            .withColumn("md5", F.md5("doc"))
+            .withColumn("xxh64", F.xxhash64("doc"))
+        )
         existing = self._existing()
         if existing is not None:
             # no-clobber: conversations already assigned are skipped
@@ -72,17 +82,23 @@ class IncrementalDedup:
         if existing is not None:
             # probe the existing index on the exact key; prefer the existing
             # canonical (first-match-wins across time, matching.c:320-375)
-            probe = existing.select(
-                F.col("n_turns").alias("e_nt"),
-                F.col("doc_len").alias("e_dl"),
-                F.col("md5").alias("e_md5"),
-                F.col("cluster_id").alias("e_cluster"),
-            ).dropDuplicates(["e_nt", "e_dl", "e_md5"])
+            # min() (not dropDuplicates) so a replayed/duplicated index row
+            # can never flip the assignment — deterministic across retries
+            probe = (
+                existing.groupBy(
+                    F.col("n_turns").alias("e_nt"),
+                    F.col("doc_len").alias("e_dl"),
+                    F.col("md5").alias("e_md5"),
+                    F.col("xxh64").alias("e_xxh"),
+                )
+                .agg(F.min("cluster_id").alias("e_cluster"))
+            )
             batch_assigned = batch_assigned.join(
                 probe,
                 (F.col("n_turns") == F.col("e_nt"))
                 & (F.col("doc_len") == F.col("e_dl"))
-                & (F.col("md5") == F.col("e_md5")),
+                & (F.col("md5") == F.col("e_md5"))
+                & (F.col("xxh64") == F.col("e_xxh")),
                 "left",
             )
         else:
@@ -92,6 +108,7 @@ class IncrementalDedup:
             "n_turns",
             "doc_len",
             "md5",
+            "xxh64",
             F.coalesce(F.col("e_cluster"), F.col("batch_canon")).alias("cluster_id"),
         )
         out.write.mode("append").parquet(self.clusters_dir)

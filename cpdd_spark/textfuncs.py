@@ -98,3 +98,24 @@ def profile(df, text_col: str = "text"):
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+def human_bytes(col: Column | str) -> Column:
+    """Human-readable byte counts — the reporting formatter of cpdd's
+    ``format_bytes`` (/root/reference/src/cpdd/copy.c:131-160: B/KB/MB/GB
+    ladder, one decimal) as a pure JVM expression for stats tables."""
+    c = F.col(col) if isinstance(col, str) else col
+    b = c.cast("double")
+
+    def fmt(div: int, unit: str) -> Column:
+        return F.concat(
+            F.format_number(b / F.lit(float(div)), 1), F.lit(f" {unit}")
+        )
+
+    return (
+        F.when(b >= float(1 << 40), fmt(1 << 40, "TiB"))
+        .when(b >= float(1 << 30), fmt(1 << 30, "GiB"))
+        .when(b >= float(1 << 20), fmt(1 << 20, "MiB"))
+        .when(b >= float(1 << 10), fmt(1 << 10, "KiB"))
+        .otherwise(F.concat(c.cast("long").cast("string"), F.lit(" B")))
+    )
