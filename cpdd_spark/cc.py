@@ -65,12 +65,16 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(rows, "conv_id string, cluster_id string")
 
 
-# Driver path bound: ~60 bytes/edge in the Arrow frame -> ~30 MB collected
-# at the cap, plus the same again for the result createDataFrame. The prior
-# 5M bound risked several hundred MB of driver heap for long conv_ids;
-# 500k keeps the driver hop strictly cheap — anything larger runs the
-# distributed rounds (which tests prove equivalent).
-DRIVER_CC_MAX_EDGES = 500_000
+# Driver path bound, in BYTES (not rows): the collect materializes
+# ~(id bytes + ~100 B of Python-object overhead) per edge, and the result
+# createDataFrame roughly doubles it. A fixed row cap either starves the
+# fast path (short ids) or blows the heap (long ids); the byte estimate
+# below — measured against pandas object-array footprints — keeps the
+# driver hop bounded at ~2x this figure regardless of id shape. Anything
+# larger runs the distributed rounds (tests prove both strategies
+# equivalent).
+DRIVER_CC_MAX_BYTES = 64 << 20
+_PY_STR_OVERHEAD = 100  # bytes per edge beyond the raw id characters
 
 
 def connected_components(
@@ -98,8 +102,15 @@ def connected_components(
     spark = edges.sparkSession
 
     if strategy != "distributed":
-        n_edges = edges.count()
-        if strategy == "driver" or n_edges <= DRIVER_CC_MAX_EDGES:
+        # one aggregate sizes the collect: row count AND id width (the
+        # count() the auto strategy needs anyway, upgraded for free)
+        sized = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length("a") + F.length("b")).alias("avg_id_bytes"),
+        ).collect()[0]
+        n_edges = sized["n"] or 0
+        est_bytes = n_edges * (int(sized["avg_id_bytes"] or 0) + _PY_STR_OVERHEAD)
+        if strategy == "driver" or est_bytes <= DRIVER_CC_MAX_BYTES:
             clusters = _driver_union_find(edges)
             if vertices is not None:
                 singles = (
