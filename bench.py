@@ -42,6 +42,16 @@ HEADLINE = [
     "events_hourly",     # windowed aggregation
 ]
 
+# round-2 additions, timed and reported but kept OUT of the headline total so
+# `value` stays comparable across rounds
+EXTRA = [
+    "pricing_summary",   # Q1-shape scan aggregation
+    "ship_priority",     # Q3-shape join + top-k
+    "region_revenue",    # Q5-shape star join (broadcast dims)
+    "embed_dup_pairs",   # LSH-bucketed embedding dedup
+    "simhash_pairs",     # SimHash near-dup screen
+]
+
 
 def force(df) -> int:
     """Fully materialize (noop sink computes every column, unlike count)."""
@@ -69,6 +79,12 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_total0, 3)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        t0 = time.time()
+        force(queries[name](spark, sf_dir))
+        extra[name] = round(time.time() - t0, 3)
+
     # throughput: turns processed by the flagship clustering per second of
     # its wall time (the north-rule metric's unit)
     n_turns = entry_mod.derived_transcripts(spark, sf_dir).count()
@@ -81,6 +97,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
                 "turns": n_turns,
                 "turns_per_sec": turns_per_sec,

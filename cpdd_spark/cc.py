@@ -27,42 +27,54 @@ from pyspark.sql import functions as F
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Exact CC via union-find on the driver — O(E alpha(E)), one collect.
+    """Exact CC on the driver — one Arrow collect, vectorized NumPy solve.
 
-    Only used below ``DRIVER_CC_MAX_EDGES``: the dup-pair edge list is
-    typically orders of magnitude smaller than the corpus (pairs are
-    O(duplicates), not O(documents)), and at that size 8-10 distributed
-    label-propagation jobs cost more in scheduling latency than one
-    collect. Above the bound the distributed loop takes over — the
-    100 TB path never collects.
+    Only used below the byte bound: the dup-pair edge list is typically
+    orders of magnitude smaller than the corpus (pairs are O(duplicates),
+    not O(documents)), and at that size 8-10 distributed label-propagation
+    jobs cost more in scheduling latency than one collect. Above the bound
+    the distributed loop takes over — the 100 TB path never collects.
+
+    Every step is vectorized (this hop is SERIAL time in the pipeline —
+    a per-edge Python loop measured ~2-3 s at 400k edges, this ~0.2 s):
+    ids are factorized against the SORTED unique array so integer code
+    order == lexicographic id order, then min-label propagation with full
+    pointer jumping per sweep converges in O(log n) O(E) sweeps to the
+    min-id root of each component — the same first-match-wins convention
+    as everywhere else.
     """
     spark = edges.sparkSession
-    parent: dict[str, str] = {}
-
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
+    import numpy as np
+    import pandas as pd
 
     # Arrow-batched collect: toLocalIterator deserializes row-at-a-time and
     # measured ~10s for 330k edges; toPandas is ~1s for the same
     pdf = edges.select("a", "b").toPandas()
-    seen: set[str] = set()
-    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
-        seen.add(a)
-        seen.add(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # min-root convention keeps "cluster_id = min conv_id"
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
-    rows = [(x, find(x)) for x in seen]
-    if not rows:
+    if len(pdf) == 0:
         return spark.createDataFrame([], "conv_id string, cluster_id string")
-    return spark.createDataFrame(rows, "conv_id string, cluster_id string")
+    ua = pdf["a"].to_numpy()
+    ub = pdf["b"].to_numpy()
+    uniq = np.unique(np.concatenate([ua, ub]))  # sorted: code order == id order
+    ca = np.searchsorted(uniq, ua)
+    cb = np.searchsorted(uniq, ub)
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[ca], lab[cb])
+        np.minimum.at(lab, ca, m)
+        np.minimum.at(lab, cb, m)
+        while True:  # pointer jumping: label chains halve per pass
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, before):
+            break
+    # ship the result back through Arrow (pandas input) — the list-of-tuples
+    # createDataFrame path pickles row-by-row (~3-4 s at 400k vertices vs
+    # <1 s via Arrow)
+    out = pd.DataFrame({"conv_id": uniq, "cluster_id": uniq[lab]})
+    return spark.createDataFrame(out)
 
 
 # Driver path bound, in BYTES (not rows): the collect materializes

@@ -58,7 +58,7 @@ SHARD_TARGET = 10_000
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, key_cols: list[str], cfg: DedupConfig
+    buckets: DataFrame, key_cols: list[str], cfg: DedupConfig, eager: bool = True
 ) -> DataFrame:
     """Skew-aware pair generation from ``(key_cols..., conv_id)`` bucket rows.
 
@@ -131,18 +131,31 @@ def pairs_from_buckets(
         )
     )
 
-    # materialize the (small, O(candidates)) result eagerly so `grouped`'s
-    # cache can be released right away — leaked persists across a multi-query
-    # session otherwise accumulate until storage eviction pressure builds
-    result = pairs.unionByName(chain_pairs).distinct().localCheckpoint(eager=True)
-    grouped.unpersist()
+    result = pairs.unionByName(chain_pairs).distinct()
+    if eager:
+        # materialize the (small, O(candidates)) result now so `grouped`'s
+        # cache can be released right away — leaked persists across a
+        # multi-query session otherwise accumulate until storage eviction
+        # pressure builds. The default because the driver's correctness
+        # session runs ~25 queries in one JVM.
+        result = result.localCheckpoint(eager=True)
+        grouped.unpersist()
+        return result
+    # eager=False: single-job sessions (the two-scale benchmark, one
+    # pipeline stage per table write) skip the materialization barrier —
+    # the pair expansion pipelines straight into the verify join and the
+    # persisted `grouped` dies with the short-lived session/stage. This is
+    # measured SERIAL time: the barrier job costs ~10-15 s on the 6.7M-turn
+    # fixture at every cluster size, pure Amdahl loss.
     return result
 
 
-def candidate_pairs(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    signatures: DataFrame, cfg: DedupConfig, eager: bool = True
+) -> DataFrame:
     """Distinct candidate ``(a, b)`` pairs with a < b from band collisions."""
     return pairs_from_buckets(
-        band_buckets(signatures, cfg), ["band_id", "band_hash"], cfg
+        band_buckets(signatures, cfg), ["band_id", "band_hash"], cfg, eager=eager
     )
 
 
