@@ -256,6 +256,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (model-free corpus size estimator)."""
+    from cpdd_spark.textfuncs import bpe_token_count
+
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents").select(
         "doc_id",
@@ -325,6 +334,51 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min inactivity
+    closes a session) — lag + cumulative-sum windows, the batch shape of
+    Structured Streaming's session windows.
+
+    Epoch MICROSECONDS are derived from date parts (datediff/hour/minute +
+    fractional-second date_part), never by casting TIMESTAMP_NTZ to a
+    number — the driver's session may not be UTC and a cast would shift
+    epochs (and break across DST) while field extraction cannot.
+    """
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    ep_us = (
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour("ts") * 3600
+            + F.minute("ts") * 60
+        ).cast("decimal(20,6)")
+        + F.date_part(F.lit("SECOND"), F.col("ts"))
+    ) * F.lit(1_000_000)
+    w = Window.partitionBy("user_id").orderBy("ep_us", "event_id")
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ep_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = F.col("ep_us") - F.lag("ep_us").over(w)
+    return (
+        ev.select("user_id", "event_id", ep_us.cast("long").alias("ep_us"))
+        .withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_idx", F.sum("new_session").over(cum).cast("int"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ep_us").alias("start_us"),
+            F.max("ep_us").alias("end_us"),
+            (F.max("ep_us") - F.min("ep_us")).alias("duration_us"),
         )
     )
 
@@ -556,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "clusters": q_clusters,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -563,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
+        "user_sessions": q_user_sessions,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -657,6 +713,15 @@ def oracle_sql() -> dict[str, str]:
         )
         """,
         "fingerprint": "SELECT doc_id, md5(text) AS fp FROM documents",
+        "bpe_token_count": r"""
+        SELECT doc_id,
+               CAST(len(list_filter(
+                 regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+', 0),
+                 t -> NOT regexp_matches(t, '^\s+$')
+               )) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+        """,
         "exact_dedup_documents": """
         SELECT doc_id,
                MIN(doc_id) OVER (PARTITION BY length(text), md5(text), text) AS cluster_id
@@ -685,6 +750,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
                COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ep_us FROM events
+        ),
+        m AS (
+          SELECT user_id, event_id, ep_us,
+                 CASE WHEN ep_us - LAG(ep_us) OVER w IS NULL
+                        OR ep_us - LAG(ep_us) OVER w > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep_us, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ep_us, event_id
+            ROWS UNBOUNDED PRECEDING
+          ) AS session_idx FROM m
+        )
+        SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MIN(ep_us) AS start_us, MAX(ep_us) AS end_us,
+               MAX(ep_us) - MIN(ep_us) AS duration_us
+        FROM s GROUP BY user_id, session_idx
         """,
         "pricing_summary": """
         SELECT l_returnflag, l_linestatus,

@@ -114,6 +114,11 @@ def connected_components(
     spark = edges.sparkSession
 
     if strategy != "distributed":
+        # persist the (small, O(dup-pairs)) edge list across the two driver
+        # hops — the sizing aggregate and the collect otherwise each replay
+        # the full union of upstream pair frames (one measured re-scan of
+        # serial time per run)
+        edges = edges.persist()
         # one aggregate sizes the collect: row count AND id width (the
         # count() the auto strategy needs anyway, upgraded for free)
         sized = edges.agg(
@@ -124,6 +129,7 @@ def connected_components(
         est_bytes = n_edges * (int(sized["avg_id_bytes"] or 0) + _PY_STR_OVERHEAD)
         if strategy == "driver" or est_bytes <= DRIVER_CC_MAX_BYTES:
             clusters = _driver_union_find(edges)
+            edges.unpersist()
             if vertices is not None:
                 singles = (
                     vertices.select("conv_id")
@@ -141,6 +147,8 @@ def connected_components(
     if n_partitions:
         sym = sym.repartition(n_partitions, "src")
     sym = sym.localCheckpoint(eager=True)
+    if strategy != "distributed":
+        edges.unpersist()  # sym is checkpointed; the sized edge cache is done
     nodes = sym.select(F.col("src").alias("conv_id")).distinct()
     labels = nodes.withColumn("label", F.col("conv_id")).localCheckpoint(eager=True)
 

@@ -96,7 +96,9 @@ def fingerprints(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     return docs.select("conv_id", "doc").mapInPandas(kernel, schema=FP_SCHEMA)
 
 
-def substring_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def substring_pairs(
+    docs: DataFrame, cfg: DedupConfig, eager: bool = True
+) -> DataFrame:
     """Verified substring-duplicate pairs ``(a, b, n_common_runs)``:
     ``n_common_runs`` counts the distinct shared R-token windows
     (R = substring_w + winnow_window - 1), > 0 iff the pair shares a
@@ -108,7 +110,9 @@ def substring_pairs(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     module docstring).
     """
     fps = fingerprints(docs, cfg)
-    cands = pairs_from_buckets(fps, ["fp"], cfg)
+    # eager: see pairs_from_buckets — hygiene barrier for long-lived
+    # sessions, skippable in single-job runs
+    cands = pairs_from_buckets(fps, ["fp"], cfg, eager=eager)
 
     w = cfg.substring_w + cfg.winnow_window - 1
     da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))

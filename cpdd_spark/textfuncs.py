@@ -119,3 +119,21 @@ def human_bytes(col: Column | str) -> Column:
         .when(b >= float(1 << 10), fmt(1 << 10, "KiB"))
         .otherwise(F.concat(c.cast("long").cast("string"), F.lit(" B")))
     )
+
+
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 (DuckDB)
+# and java.util.regex (Spark) treat identically: contractions, space-prefixed
+# letter runs, digit runs, symbol runs, residual whitespace.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Token count under a BPE-ish pre-tokenization regex — the byte-pair
+    family's word-splitting stage (letters/digits/punctuation/contraction
+    chunks), the usual 'how many tokens is this corpus' estimator when no
+    model vocabulary is loaded. JVM-side via regexp_extract_all; the
+    whitespace-token count lives in :func:`token_count`."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+    # whitespace runs match (so the scan is total) but don't count as tokens
+    return F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))).cast("long")

@@ -43,7 +43,17 @@ def verify_pairs(
 
     da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
     db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
-    joined = pairs.join(da, "a").join(db, "b").select("a", "b", "doc_a", "doc_b")
+    # shuffle-hash hints: build the hash table on the (small, O(candidates))
+    # pair side and STREAM the document side — sort-merge would sort the
+    # full doc text once per join (2 sorts of the rep corpus per verify).
+    # Build-side memory is bounded: pairs are O(dups) and hash-partitioned.
+    joined = (
+        pairs.hint("shuffle_hash")
+        .join(da, "a")
+        .hint("shuffle_hash")
+        .join(db, "b")
+        .select("a", "b", "doc_a", "doc_b")
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -64,6 +64,7 @@ def run_once(cores: int) -> dict:
     from cpdd_spark.lsh import candidate_pairs
     from cpdd_spark.session import get_spark
     from cpdd_spark.signatures import compute_signatures
+    from cpdd_spark.substring import substring_pairs
     from cpdd_spark.verify import verify_pairs
 
     cfg = DedupConfig()
@@ -164,7 +165,16 @@ def run_once(cores: int) -> dict:
     verified = verify_pairs(cands, reps, cfg).persist()
     if instrument:
         verified.count(); t = lap("candidates+verify", t)
-    edges = exact_pairs(exact).unionByName(verified.select("a", "b"))
+    # substring tier: part of the mandated pipeline (north rule lists the
+    # suffix/substring pass alongside MinHash+LSH), so the benchmark runs it
+    substr = substring_pairs(reps, cfg, eager=False).persist()
+    if instrument:
+        substr.count(); t = lap("substring", t)
+    edges = (
+        exact_pairs(exact)
+        .unionByName(verified.select("a", "b"))
+        .unionByName(substr.select("a", "b"))
+    )
     clusters = connected_components(
         edges, vertices=docs.select("conv_id"), n_partitions=max(8, cores // 2)
     )
@@ -227,7 +237,8 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — two-scale throughput protocol
 
 Same flagship dedup job (assemble -> exact clusters -> MinHash signatures ->
-LSH -> exact-Jaccard verify -> connected components), same input
+LSH -> exact-Jaccard verify -> winnowed substring pass -> connected
+components: the full mandated pipeline), same input
 ({results[lo]['turns']:,} turns / {NUM_CONVS:,} conversations, seeded fixture,
 30% exact + 20% near dups), two cluster sizes on one 32-core host.
 
