@@ -50,6 +50,8 @@ EXTRA = [
     "region_revenue",    # Q5-shape star join (broadcast dims)
     "embed_dup_pairs",   # LSH-bucketed embedding dedup
     "simhash_pairs",     # SimHash near-dup screen
+    "user_sessions",     # gap sessionization (lag + cumsum windows)
+    "bpe_token_count",   # BPE-regex token counting
 ]
 
 

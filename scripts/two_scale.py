@@ -272,20 +272,22 @@ fake):
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET — see single-host floor above"}).
 
 Measured single-host ladder on this job/input (min over this session's
-runs; the 2->8 pair lands at ~0.63-0.67 purely on the shared-bandwidth
-floor — same engine, same plan):
+runs; same engine, same plan at every size):
 
-| cores | wall (s) | turns/sec |
-|---|---|---|
-| 1 | 389.1 | 17,142 |
-| 2 | 191.7 | 34,795 |
-| 4 | 110.9 | 60,143 |
-| 8 | 76.0  | 87,785 |
+| cores | wall (s) | turns/sec | (T_1/T_c)/c |
+|---|---|---|---|
+| 1 | 733.9 | 9,088 | 1.00 |
+| 2 | 391.7 | 17,028 | 0.94 |
+| 4 | 222.0 | 30,050 | 0.83 |
+| 8 | 158.5 | 42,089 | 0.58 |
 
-Amdahl fit of the ladder: ~340 s of perfectly-parallel work + ~34 s of
-fixed serial/scheduling overhead per run (driver planning, collect hops,
-convergence checks) — at the 10^12-turn target the serial share is noise;
-on this 6.7M-turn proxy it is the visible limiter.
+Amdahl fit of the 1/4 pair: ~683 s of perfectly-parallel work + ~51 s of
+fixed serial overhead per run (driver planning, collect hops, convergence
+checks) — the fit PREDICTS the 2-core point within 1 s (392.6 predicted,
+391.7 measured), while the 8-core point runs 22 s ABOVE it: that gap is
+the single host's shared DRAM/disk bandwidth saturating, the thing a real
+4N-executor cluster (4N memory buses, 4N disks) does not do. At the
+10^12-turn target the ~51 s serial share is noise.
 
 Cluster counts are identical across scales (same result, different
 parallelism). Wall time measures the job from first action to final count,
