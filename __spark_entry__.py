@@ -218,16 +218,17 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically all pairs with J >= tau (what the oracle computes).
     The scale pipeline (pipeline.py / scripts/two_scale.py) runs LSH-only.
     """
-    docs = _assembled(spark, sf_dir)
+    # persist: docs feeds the signature path, the ngram backstop, AND the
+    # verify joins — uncached it assembles three times
+    docs = _assembled(spark, sf_dir).persist()
     sigs = compute_signatures(docs, CFG)
-    cands = (
-        candidate_pairs(sigs, CFG)
-        .unionByName(
-            jaccard_pairs(docs, "conv_id", "doc", n=5, tau=CFG.tau).select("a", "b")
-        )
-        .distinct()
-    )
-    return verify_pairs(cands, docs, CFG)
+    verified = verify_pairs(candidate_pairs(sigs, CFG, eager=False), docs, CFG)
+    # result-level union: a verified LSH pair carries the SAME exact
+    # Jaccard double the inverted index computes (bit-identical, both are
+    # intersection/union of the same distinct 5-gram sets), so duplicates
+    # collapse under distinct() and no ngram pair needs re-verification
+    backstop = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=CFG.tau, eager=False)
+    return verified.unionByName(backstop).distinct()
 
 
 def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -56,6 +56,7 @@ def jaccard_pairs(
     n: int = 5,
     tau: float = 0.7,
     max_doc_freq: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """``(a, b, jaccard)`` for all pairs with exact n-gram Jaccard >= tau.
 
@@ -112,10 +113,14 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= tau)
         .select("a", "b", "jaccard")
+    )
+    if eager:
         # materialize now (pairs are O(duplicates), tiny next to the index)
         # so the persisted index can be released immediately — repeated
-        # invocations in one session must not accumulate cached blocks
-        .localCheckpoint(eager=True)
-    )
-    sets.unpersist()
+        # invocations in one session must not accumulate cached blocks.
+        # eager=False composes this as one lazy branch of a bigger DAG
+        # (e.g. the minhash recall backstop) at the cost of the leaked
+        # (small) index cache for the session's remainder.
+        result = result.localCheckpoint(eager=True)
+        sets.unpersist()
     return result
