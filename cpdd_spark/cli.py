@@ -86,7 +86,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from cpdd_spark.io import TableIO
 
             io = TableIO(spark, args.workdir)
-            io.write(assemble_documents(turns, keep_metadata=True), "documents_meta")
+            # no-clobber like every pipeline stage: a committed metadata
+            # table is reused unless --no-resume forces recompute
+            if args.no_resume or not io.exists("documents_meta"):
+                io.write(
+                    assemble_documents(turns, keep_metadata=True),
+                    "documents_meta",
+                )
         pipe = DedupPipeline(
             spark, args.workdir, cfg=cfg, enable_substring=not args.no_substring
         )

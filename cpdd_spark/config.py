@@ -36,7 +36,10 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_hamming_max: int = 6   # near-dup screen: popcount(a^b) <= t
     # --- substring (suffix/rolling-hash) pass ---
-    substring_w: int = 30       # min common run, in tokens
+    substring_w: int = 30       # fingerprint window, in tokens; the MIN
+                                # REPORTED run is substring_w + winnow_window
+                                # - 1 = 37 tokens (winnowing guarantee zone;
+                                # see substring.py)
     winnow_window: int = 8      # winnowing window (fingerprints kept per w positions)
     # --- skew handling ---
     max_band_bucket: int = 200  # cap: LSH buckets larger than this are salted/sampled

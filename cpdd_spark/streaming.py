@@ -49,7 +49,15 @@ class IncrementalDedup:
     def _existing(self) -> DataFrame | None:
         try:
             if any(f.endswith(".parquet") for f in os.listdir(self.clusters_dir)):
-                return self.spark.read.parquet(self.clusters_dir)
+                # mergeSchema: a directory migrated from the md5-only layout
+                # mixes files with and without xxh64 — a plain read could
+                # pick the narrow schema and silently drop the column
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    self.clusters_dir
+                )
+                if "xxh64" not in df.columns:  # pure-legacy directory
+                    df = df.withColumn("xxh64", F.lit(None).cast("long"))
+                return df
         except FileNotFoundError:
             pass
         return None
@@ -98,9 +106,18 @@ class IncrementalDedup:
                 (F.col("n_turns") == F.col("e_nt"))
                 & (F.col("doc_len") == F.col("e_dl"))
                 & (F.col("md5") == F.col("e_md5"))
-                & (F.col("xxh64") == F.col("e_xxh")),
+                # legacy (pre-xxh64) index rows carry a null e_xxh: accept
+                # the md5-only match for those — the original guarantee —
+                # instead of null-comparing to false and re-canonicalizing
+                # known content under a new cluster_id
+                & (F.col("e_xxh").isNull() | (F.col("xxh64") == F.col("e_xxh"))),
                 "left",
             )
+            # a content key present both as a legacy row and a dual-hash row
+            # would match twice — collapse to the minimum existing canonical
+            batch_assigned = batch_assigned.groupBy(
+                "conv_id", "n_turns", "doc_len", "md5", "xxh64", "batch_canon"
+            ).agg(F.min("e_cluster").alias("e_cluster"))
         else:
             batch_assigned = batch_assigned.withColumn("e_cluster", F.lit(None))
         out = batch_assigned.select(

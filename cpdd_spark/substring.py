@@ -27,9 +27,11 @@ same guarantee we need:
 
 Verifying at R (not at W) makes the OUTPUT deterministic: winnowing
 GUARANTEES a common selected fingerprint for any shared run >= R tokens, so
-candidate recall is exactly 1.0 for the emitted predicate "shares a token
-run >= R" and the result is a pure function of the corpus — which is what
-lets the driver value-hash it against a DuckDB R-gram inverted index.
+BUCKETING recall is exactly 1.0 for the emitted predicate "shares a token
+run >= R" and, with ``complete=True`` expansion (see
+:func:`substring_pairs`), the result is a pure function of the corpus —
+which is what lets the driver value-hash it against a DuckDB R-gram
+inverted index.
 (Verifying at W would also emit runs in [W, R) that happen to be winnow-
 selected — higher recall but hash-dependent output, untestable by oracle.)
 Fixtures splice ``substring_run=60 >= 37`` tokens.
@@ -97,18 +99,36 @@ def fingerprints(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def substring_pairs(
-    docs: DataFrame, cfg: DedupConfig, eager: bool = True
+    docs: DataFrame,
+    cfg: DedupConfig,
+    eager: bool = True,
+    complete: bool = False,
 ) -> DataFrame:
     """Verified substring-duplicate pairs ``(a, b, n_common_runs)``:
     ``n_common_runs`` counts the distinct shared R-token windows
     (R = substring_w + winnow_window - 1), > 0 iff the pair shares a
     contiguous token run of at least R tokens.
 
-    Candidates come from fingerprint-bucket joins (skew-aware, recall 1.0
-    for the R guarantee); verification re-intersects the FULL R-gram hash
-    sets of each candidate pair — deterministic, oracle-checkable (see
-    module docstring).
+    Candidates come from fingerprint-bucket joins; verification
+    re-intersects the FULL R-gram hash sets of each candidate pair.
+
+    Recall caveat, made explicit: the winnowing guarantee makes BUCKETING
+    recall 1.0, but the default bucket EXPANSION caps hot buckets at
+    ``cfg.max_band_bucket`` neighbors (the skew valve) — if more than
+    cap+1 documents share one selected fingerprint, far-apart pairs within
+    that bucket are screened out (still chained for connectivity through
+    CC, the dedup use-case, but absent from the emitted pair LIST).
+    ``complete=True`` lifts the cap so the output is exactly the
+    brute-force "shares a token run >= R" pair set — the deterministic,
+    oracle-checkable contract; use it when the pair list itself is the
+    product and the corpus is known to be boilerplate-bounded.
     """
+    if complete:
+        # exact up to SHARD_TARGET members per fingerprint bucket (the
+        # collect_list row-size bound still pre-salts degenerate buckets)
+        from dataclasses import replace
+
+        cfg = replace(cfg, max_band_bucket=1 << 30)
     fps = fingerprints(docs, cfg)
     # eager: see pairs_from_buckets — hygiene barrier for long-lived
     # sessions, skippable in single-job runs

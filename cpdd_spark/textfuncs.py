@@ -123,8 +123,14 @@ def human_bytes(col: Column | str) -> Column:
 
 # GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 (DuckDB)
 # and java.util.regex (Spark) treat identically: contractions, space-prefixed
-# letter runs, digit runs, symbol runs, residual whitespace.
-BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# letter runs, digit runs, symbol runs, residual whitespace. Whitespace is an
+# EXPLICIT class, never \s — Java's \s includes vertical tab (\x0B), RE2's
+# does not, and a VT in a document would shift the count between engines.
+_WS = r" \t\n\f\r\x0B"
+BPE_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^{_WS}A-Za-z0-9]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -136,4 +142,6 @@ def bpe_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     toks = F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
     # whitespace runs match (so the scan is total) but don't count as tokens
-    return F.size(F.filter(toks, lambda t: ~t.rlike(r"^\s+$"))).cast("long")
+    return F.size(
+        F.filter(toks, lambda t: ~t.rlike(rf"^[{_WS}]+$"))
+    ).cast("long")

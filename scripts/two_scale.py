@@ -271,8 +271,10 @@ fake):
 
 **Scaling efficiency (T_N / T_4N) / 4 = {eff:.3f}** (target >= 0.8: {"MET" if eff >= 0.8 else "NOT MET — see single-host floor above"}).
 
-Measured single-host ladder on this job/input (min over this session's
-runs; same engine, same plan at every size):
+Measured single-host ladder — provenance: 2026-08-16 session, THIS job
+shape (full pipeline incl. substring tier) on the 400k-conversation
+seed-42 fixture, min over that session's runs; rerunning the protocol
+updates the N/4N table above, not this dated ladder:
 
 | cores | wall (s) | turns/sec | (T_1/T_c)/c |
 |---|---|---|---|

@@ -48,6 +48,37 @@ def test_incremental_dedup_stream(spark, dirs):
             assert got[cid] == got[row["source_conv"]], cid
 
 
+def test_legacy_md5_only_index_migrates(spark, dirs):
+    """A clusters_dir written by the md5-only version (no xxh64 column)
+    must keep probing: arriving duplicates of legacy content link to the
+    legacy canonical instead of crashing or re-canonicalizing."""
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    t1 = spark.createDataFrame(
+        [("old1", 0, "user", "same text here", "", None)], schema
+    )
+    dedup = IncrementalDedup(spark, dirs["clusters"])
+    dedup.process_batch(t1, 0)
+    # rewrite the index in the LEGACY layout (drop xxh64)
+    legacy = spark.read.parquet(dirs["clusters"]).drop("xxh64").toPandas()
+    import shutil
+
+    shutil.rmtree(dirs["clusters"])
+    os.makedirs(dirs["clusters"])
+    legacy.to_parquet(os.path.join(dirs["clusters"], "legacy.parquet"), index=False)
+
+    t2 = spark.createDataFrame(
+        [("new1", 0, "user", "same text here", "", None),
+         ("new2", 0, "user", "different text", "", None)], schema
+    )
+    dedup.process_batch(t2, 1)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(dirs["clusters"]).collect()
+    }
+    assert got == {"old1": "old1", "new1": "old1", "new2": "new2"}
+
+
 def test_stream_replay_idempotent(spark, dirs):
     fx = generate(FixtureParams(num_convs=30, seed=22))
     _write_batch(fx, list(fx.truth["conv_id"]), os.path.join(dirs["in"], "b.parquet"))

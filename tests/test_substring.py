@@ -45,6 +45,24 @@ def test_winnow_deterministic_alignment():
     assert shared_sel, "no common fingerprint selected from the shared run"
 
 
+def test_substring_complete_mode_lifts_hot_bucket_cap(spark):
+    """>cap docs sharing one boilerplate run: capped mode screens far-apart
+    pairs (keeping chains for CC), complete mode emits all C(n,2) — the
+    oracle-checked contract."""
+    from dataclasses import replace
+
+    cfg = replace(CFG, max_band_bucket=5)
+    shared = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(f"c{i:02d}", f"{shared} uniq{i}") for i in range(20)],
+        "conv_id string, doc string",
+    )
+    capped = substring_pairs(docs, cfg).count()
+    full = substring_pairs(docs, cfg, complete=True).count()
+    assert full == 190  # C(20,2)
+    assert capped < full
+
+
 def test_substring_dups_found(spark, turns_df, truth_pdf):
     """Every planted substring_dup (60 spliced tokens >= R = W + k - 1 = 37)
     must pair with its source; pairs are verified (n_common_runs >= 1)."""
@@ -67,7 +85,7 @@ def test_substring_output_is_exactly_bruteforce_rgram_pairs(spark, turns_df):
     docs = assemble_documents(turns_df).cache()
     got = {
         (r["a"], r["b"]): r["n_common_runs"]
-        for r in substring_pairs(docs, CFG).collect()
+        for r in substring_pairs(docs, CFG, complete=True).collect()
     }
     texts = sorted((r["conv_id"], r["doc"]) for r in docs.collect())
     r_w = CFG.substring_w + CFG.winnow_window - 1
