@@ -37,10 +37,12 @@ from cpdd_spark.exact import exact_clusters, exact_pairs
 from cpdd_spark.lsh import candidate_pairs, simhash_candidates
 from cpdd_spark.multimodal import attach_payload, extract_features
 from cpdd_spark.ngram import jaccard_pairs
+from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.session import ship_package
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.similarity import cosine_dup_pairs_lsh, cosine_topk, lsh_topk
 from cpdd_spark.substring import substring_pairs
+from cpdd_spark import textfuncs
 from cpdd_spark.textfuncs import (
     fingerprint,
     lang_id,
@@ -103,8 +105,15 @@ def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB twin of the canonical whitespace tokenizer
+# (cpdd_spark.textfuncs: WS_JAVA / ws_tokens for the JVM, pandas
+# ``str.split()`` in the Arrow kernels): explicit RE2 class + empty-token
+# filter, so oracle token streams match the engine's on ANY corpus.
+WS_SQL = textfuncs.WS_RE2 + "+"
+_TOK_DOC = f"list_filter(regexp_split_to_array(doc, '{WS_SQL}'), t -> t <> '')"
+
 # SQL twin of derived_transcripts + assembled documents, shared by oracles.
-SQL_PRELUDE = """
+SQL_PRELUDE = f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
 ),
@@ -140,15 +149,18 @@ exact2 AS (
     FROM docs2
   )
 ),
+tokd AS (
+  -- canonical whitespace tokenization (WS_SQL == engine's str.split())
+  SELECT conv_id, {_TOK_DOC} AS tk FROM docs2
+),
 grams AS (
-  -- all-whitespace tokenization (matches the engine's str.split())
   SELECT conv_id AS id, len(gset) AS n_grams, unnest(gset) AS shingle
   FROM (
     SELECT conv_id,
-           list_distinct(list_transform(range(len(regexp_split_to_array(doc, '\\s+')) - 4),
-                         i -> array_to_string(list_slice(regexp_split_to_array(doc, '\\s+'), i + 1, i + 5), ' '))) AS gset
-    FROM docs2
-    WHERE len(regexp_split_to_array(doc, '\\s+')) >= 5
+           list_distinct(list_transform(range(len(tk) - 4),
+                         i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))) AS gset
+    FROM tokd
+    WHERE len(tk) >= 5
   )
 ),
 ngram_pairs AS (
@@ -224,12 +236,36 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(docs, CFG)
     verified = verify_pairs(candidate_pairs(sigs, CFG, eager=False), docs, CFG)
     # result-level union: a verified LSH pair carries the SAME exact
-    # Jaccard double the inverted index computes (bit-identical, both are
-    # intersection/union of the same distinct 5-gram sets), so duplicates
-    # collapse under distinct() and no ngram pair needs re-verification
+    # Jaccard double the inverted index computes (both paths use one
+    # tokenizer — the explicit-whitespace-class split, see
+    # cpdd_spark.textfuncs.WS_* — over the same distinct 5-gram sets, equal
+    # modulo 64-bit shingle-hash collisions). Duplicates collapse on the
+    # PAIR KEY (groupBy + min), not distinct(): even if a pathological
+    # corpus ever made the two jaccard doubles diverge (hash collision),
+    # the output still has one deterministic row per pair instead of two.
     backstop = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=CFG.tau, eager=False)
-    result = verified.unionByName(backstop).distinct().localCheckpoint(eager=True)
+    result = (
+        verified.unionByName(backstop)
+        .groupBy("a", "b")
+        .agg(F.min("jaccard").alias("jaccard"))
+        .localCheckpoint(eager=True)
+    )
     docs.unpersist()  # hygiene for the multi-query driver session
+    return result
+
+
+def q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION MinHash route: signatures -> LSH bands -> exact-Jaccard
+    verify, NO recall backstop — the path pipeline.py / two_scale.py run at
+    scale. Recall is probabilistic (b=32, r=4: P[miss] ~ 1.5e-4 per pair at
+    tau), so this is benchmarked (bench.py HEADLINE), not oracle-gated;
+    :func:`q_minhash_pairs` is the deterministic oracle-mode twin."""
+    docs = _assembled(spark, sf_dir).persist()
+    sigs = compute_signatures(docs, CFG)
+    result = verify_pairs(
+        candidate_pairs(sigs, CFG, eager=False), docs, CFG
+    ).localCheckpoint(eager=True)
+    docs.unpersist()
     return result
 
 
@@ -433,9 +469,50 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (approximate: rows-only check)."""
+    """Hyperplane-LSH bucketed ANN (approximate: rows-only check; the hard
+    correctness signal lives in :func:`q_ann_recall`)."""
     embs = _read(spark, sf_dir, "embeddings")
     return lsh_topk(embs, embs.filter("vec_id < 20"), dim=64, k=5)
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the LSH ANN path against the exact brute-force
+    top-5: ``(query_id, n_hits, recall)``.
+
+    The sketches are seed-pinned and all tie-breaks are by neighbor_id, so
+    on a pinned corpus this is a PURE FUNCTION of the input — the DuckDB
+    twin pins the expected per-query values (the LSH half is a numpy
+    matmul, not SQL-expressible; the exact half is ann_topk's oracle).
+    This turns the previously rows-only ANN path into a hash-checked one:
+    any drift in sign_sketches / lsh_topk / cosine ranking breaks it.
+
+    Expected magnitude, so the number reads right: the fixture embeddings
+    are near-random (true top-5 at cosine ~0.34), where per-table collision
+    is rare by design — mean recall ~0.33 at (planes=6, tables=8). LSH
+    earns its keep in the high-cosine regime the DEDUP queries pin
+    (cosine >= 0.8 -> miss ~3.8e-3, >= 0.99 -> ~1e-26; see
+    cpdd_spark.similarity.cosine_dup_pairs_lsh), not on random vectors.
+    """
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter("vec_id < 20")
+    exact = cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_topk(embs, queries, dim=64, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    base = exact.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall"
+            ),
+        )
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +547,29 @@ def _dec_sum(col, scale: int = 6):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage row counts of a FULL checkpointed pipeline run (P12/R16): the
+    metrics table (stats_t analogue, /root/reference/include/cpdd.h:61-69)
+    finally gets the same hard oracle signal as the operators it measures.
+
+    Runs DedupPipeline into a throwaway workdir over the derived corpus and
+    emits ``(stage, n_rows)`` — deterministic: every stage's cardinality is
+    a pure function of the corpus (verified_pairs relies on LSH recall
+    being exactly 1.0 on this fixture, which the recall gate pins; a future
+    band-hash drift that loses a pair breaks this row — by design).
+    """
+    import tempfile
+
+    pipe = DedupPipeline(
+        spark, tempfile.mkdtemp(prefix="cpdd_metrics_"), CFG
+    )
+    pipe.run(derived_transcripts(spark, sf_dir))
+    return (
+        pipe.io.read("metrics")
+        .select("stage", F.col("rows").cast("long").alias("n_rows"))
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy filtered aggregation with derived measures.
     Pushdown target: the shipdate filter and 7-column projection must reach
@@ -495,7 +595,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: 3-way join + filtered aggregation + deterministic
     top-10 (rank ties broken by orderkey). customer is dim-sized here but
-    corpus-sized at SF 100k, so no broadcast hint — AQE decides."""
+    corpus-sized at SF 100k, so no broadcast hint — AQE decides.
+
+    The top-10 is ``orderBy(...).limit(10)`` — Spark compiles that to
+    ``TakeOrderedAndProject`` (per-partition heaps + a 10-row driver merge,
+    fully parallel). Rank is then derived by a window over the LIMITED
+    10-row result: the only partition-less window in the plan runs over
+    <= 10 rows at any corpus scale, never over the aggregate (the
+    partition-less-window-over-unbounded-input shape is banned by
+    tests/test_plans.py::test_no_unbounded_single_partition_window)."""
     from pyspark.sql import Window
 
     cust = _read(spark, sf_dir, "customer").filter(
@@ -516,17 +624,14 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(revenue)
     )
+    top10 = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
     w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            "o_orderpriority",
-            "rank",
-        )
+    return top10.select(
+        "l_orderkey",
+        "revenue",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+        F.row_number().over(w).alias("rank"),
     )
 
 
@@ -635,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ann_topk": q_ann_topk,
+        "ann_recall": q_ann_recall,
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
@@ -646,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_suppliers": q_active_suppliers,
         "order_priority_rollup": q_order_priority_rollup,
         "substring_pairs": q_substring_pairs,
+        "pipeline_metrics": q_pipeline_metrics,
         # hash-dependent / approximate: no SQL oracle (rows-only checks)
         "simhash_pairs": q_simhash_pairs,
         "signatures": q_signatures,
@@ -760,6 +867,21 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
         SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= 5
         """,
+        # seed-pinned LSH recall@5 per query on the sf0.01 fixture (the LSH
+        # half is a numpy matmul, not SQL-expressible; values measured once
+        # from the pinned sketches, division left to the engine so the
+        # recall doubles are IEEE-identical). Drift in sign_sketches /
+        # lsh_topk / ranking breaks this hash — that is the point.
+        "ann_recall": """
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits AS DOUBLE) / 5.0 AS recall
+        FROM (VALUES
+          (0, 2), (1, 1), (2, 1), (3, 2), (4, 2), (5, 0), (6, 4), (7, 2),
+          (8, 1), (9, 2), (10, 1), (11, 1), (12, 2), (13, 1), (14, 1),
+          (15, 4), (16, 2), (17, 2), (18, 0), (19, 2)
+        ) AS t(query_id, n_hits)
+        """,
         "embed_dup_pairs": f"""
         WITH l AS (SELECT vec_id AS a, embedding AS ea FROM embeddings),
         r AS (SELECT vec_id AS b, embedding AS eb FROM embeddings)
@@ -863,13 +985,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id,
                    list_distinct(list_transform(range(len(tk) - 36),
                                  i -> array_to_string(list_slice(tk, i + 1, i + 37), ' '))) AS gset
-            FROM (SELECT conv_id, regexp_split_to_array(doc, '\\s+') AS tk FROM docs2)
+            FROM tokd
             WHERE len(tk) >= 37
           )
         )
         SELECT l.id AS a, r.id AS b, CAST(COUNT(*) AS BIGINT) AS n_common_runs
         FROM g37 l JOIN g37 r ON l.g = r.g AND l.id < r.id
         GROUP BY l.id, r.id
+        """,
+        # stage cardinalities of the full pipeline: documents/exact/clusters
+        # are corpus counts, signatures runs over exact-cluster reps,
+        # verified_pairs == the exact n-gram pair set restricted to reps
+        # (valid while LSH recall is 1.0 on this fixture — gated), and
+        # substring_pairs == the rep-restricted R=37-gram pair set (winnow
+        # guarantee, buckets under cap at this SF)
+        "pipeline_metrics": SQL_PRELUDE
+        + """
+        , reps AS (SELECT conv_id FROM exact2 WHERE conv_id = cluster_id),
+        g37r AS (
+          SELECT conv_id AS id, unnest(gset) AS g
+          FROM (
+            SELECT conv_id,
+                   list_distinct(list_transform(range(len(tk) - 36),
+                                 i -> array_to_string(list_slice(tk, i + 1, i + 37), ' '))) AS gset
+            FROM tokd
+            WHERE len(tk) >= 37 AND conv_id IN (SELECT conv_id FROM reps)
+          )
+        ),
+        sub_pairs AS (
+          SELECT l.id AS a, r.id AS b
+          FROM g37r l JOIN g37r r ON l.g = r.g AND l.id < r.id
+          GROUP BY l.id, r.id
+        )
+        SELECT * FROM (
+          SELECT 'documents' AS stage, (SELECT COUNT(*) FROM docs2) AS n_rows
+          UNION ALL SELECT 'exact_clusters', (SELECT COUNT(*) FROM docs2)
+          UNION ALL SELECT 'signatures', (SELECT COUNT(*) FROM reps)
+          UNION ALL SELECT 'verified_pairs',
+            (SELECT COUNT(*) FROM ngram_pairs
+             WHERE a IN (SELECT conv_id FROM reps)
+               AND b IN (SELECT conv_id FROM reps))
+          UNION ALL SELECT 'substring_pairs', (SELECT COUNT(*) FROM sub_pairs)
+          UNION ALL SELECT 'clusters', (SELECT COUNT(*) FROM docs2)
+        )
         """,
         "order_priority_rollup": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,

@@ -44,6 +44,12 @@ class DedupConfig:
     # --- skew handling ---
     max_band_bucket: int = 200  # cap: LSH buckets larger than this are salted/sampled
     salt_buckets: int = 16      # L salt shards for hot bands
+    # --- output layout (R15: dest-tree mirroring -> partition spec) ---
+    output_buckets: int = 16    # hash-bucket partitions of the clusters
+                                # table (Iceberg bucket(conv_id) analogue);
+                                # size so one bucket ~ one task's worth at
+                                # the target SF (10^12 turns -> thousands)
+
     # --- determinism ---
     seed: int = 42              # matches /root/reference/test_cpdd.sh:28
 

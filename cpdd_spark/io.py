@@ -76,11 +76,25 @@ class TableIO:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(name))
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
         if self.iceberg:
+            # Iceberg fixes the partition spec at table creation — apply it
+            # on the first append (create), inherit it afterwards
+            if partition_by and not self.spark.catalog.tableExists(f"cpdd.{name}"):
+                from pyspark.sql import functions as F
+
+                df.writeTo(f"cpdd.{name}").partitionedBy(
+                    *[F.col(c) for c in partition_by]
+                ).create()
+                return
             df.writeTo(f"cpdd.{name}").append()
         else:
-            df.write.mode("append").parquet(self.path(name))
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self.path(name))
 
     def drop(self, name: str) -> None:
         if self.iceberg:

@@ -19,15 +19,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cpdd_spark.textfuncs import ws_tokens
+
 
 def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """``(id, shingle)`` distinct word n-grams per document, plus per-doc
     distinct counts. Docs shorter than n tokens contribute nothing.
 
-    Tokenization is ALL-whitespace split (regex), matching the signature
-    tier's ``str.split()`` so n-gram Jaccard and MinHash-verified Jaccard
-    are the same quantity on multi-line documents."""
-    toks = F.split(F.col(text_col), r"\s+")
+    Tokenization is the canonical whitespace split
+    (:func:`cpdd_spark.textfuncs.ws_tokens` — the JVM twin of the signature
+    kernel's pandas ``str.split()``: same character class, empties dropped),
+    so n-gram Jaccard and MinHash-verified Jaccard are the same quantity on
+    ANY document, not just single-space corpora."""
+    toks = ws_tokens(F.col(text_col))
     # Guard sub-n-token docs: F.sequence(0, size-n) counts DOWN when
     # size < n (e.g. [0,-1]) and F.slice at a negative start throws
     # INVALID_PARAMETER_VALUE.START — so short docs must short-circuit to an

@@ -95,15 +95,24 @@ class DedupPipeline:
             .withColumn("stage", F.lit(stage))
             .select("run_id", "stage", "partition_id", "rows")
         )
-        self.io.append(lineage, "lineage")
+        # run_id partitioning: appends only ever CREATE a new partition
+        # directory (never touch prior runs' files), and reading one run's
+        # rows partition-prunes every other run
+        self.io.append(lineage, "lineage", partition_by=["run_id"])
         n = lineage.agg(F.sum("rows")).collect()[0][0] or 0
         metrics = self.spark.createDataFrame(
             [(self.run_id, stage, int(n), float(t0), time.time())],
             "run_id string, stage string, rows long, t_start double, t_end double",
         ).withColumn("seconds", F.col("t_end") - F.col("t_start"))
-        self.io.append(metrics, "metrics")
+        self.io.append(metrics, "metrics", partition_by=["run_id"])
 
-    def _stage(self, name: str, compute, resume: bool) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        compute,
+        resume: bool,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         """No-clobber stage execution: existing committed output is reused
         (should_overwrite semantics, copy.c:73-96). Once any stage recomputes
         in this run, every DOWNSTREAM stage recomputes too — a committed
@@ -113,7 +122,7 @@ class DedupPipeline:
             return self.io.read(name)
         self._dirty = True
         t0 = time.time()
-        self.io.write(compute(), name)
+        self.io.write(compute(), name, partition_by=partition_by)
         self._record(name, t0)
         self.stage_log.append((name, "computed"))
         return self.io.read(name)
@@ -168,10 +177,20 @@ class DedupPipeline:
         for e in edge_frames[1:]:
             edges = edges.unionByName(e)
 
+        # R15 dest-tree analogue (copy.c:196-239): the clusters table lands
+        # hash-bucketed on conv_id (part_bucket == Iceberg bucket(conv_id)
+        # spec via io.write(partition_by)) so member lookups and downstream
+        # conv_id joins prune to one bucket instead of scanning the table
         clusters = self._stage(
             "clusters",
-            lambda: connected_components(edges, vertices=docs.select("conv_id")),
+            lambda: connected_components(
+                edges, vertices=docs.select("conv_id")
+            ).withColumn(
+                "part_bucket",
+                F.pmod(F.crc32("conv_id"), F.lit(cfg.output_buckets)).cast("int"),
+            ),
             resume,
+            partition_by=["part_bucket"],
         )
         if link_mode == "materialize":
             self._stage(

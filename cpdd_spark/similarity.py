@@ -238,18 +238,27 @@ def lsh_topk(
     independent sketches — P = 1-(1-p^n_planes)^n_tables, p = 1 - theta/pi).
     Candidates are deduped across tables, then exact cosine + rank. Tune:
     more planes => smaller buckets (cheaper, lower recall); more tables =>
-    higher recall (more candidate volume)."""
-    cands = None
-    for t in range(n_tables):
-        cb = hyperplane_buckets(corpus, dim, n_planes, seed + 1000 * t, id_col, vec_col)
-        qb = hyperplane_buckets(queries, dim, n_planes, seed + 1000 * t, id_col, vec_col)
-        c = qb.select(
-            F.col("id").alias("query_id"), "bucket"
-        ).join(
-            cb.select(F.col("id").alias("neighbor_id"), "bucket"), "bucket"
-        ).select("query_id", "neighbor_id")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    higher recall (more candidate volume).
+
+    All tables come from ONE :func:`sign_sketches` matmul pass per side and
+    collide through ONE ``(t, bucket)`` equi-join — same recall math as a
+    per-table loop, but the plan stays two mapInPandas + one shuffle join
+    regardless of n_tables (the per-plane JVM-expression variant,
+    :func:`hyperplane_buckets`, grows the codegen per plane and unions one
+    join per table — kept only as the no-Python-worker alternative for
+    small n_planes)."""
+    csk = sign_sketches(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
+    qsk = sign_sketches(queries, dim, n_planes, n_tables, seed, id_col, vec_col)
+    cands = (
+        qsk.select(F.col("id").alias("query_id"), "t", "bucket")
+        .join(
+            csk.select(F.col("id").alias("neighbor_id"), "t", "bucket"),
+            ["t", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     scored = (
         cands.join(
             queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_a")),

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from cpdd_spark.assemble import assemble_documents
+from cpdd_spark.cc import connected_components
+from cpdd_spark.config import DedupConfig
+from cpdd_spark.lsh import band_buckets, pairs_from_buckets
+from cpdd_spark.signatures import compute_signatures
+from cpdd_spark.verify import verify_pairs
 
 TURNS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -40,11 +45,40 @@ class IncrementalDedup:
     md5, xxh64, cluster_id)`` assignments; each micro-batch probes it and appends
     rows for new conversations (first-seen conv of new content becomes its
     own canonical — min-key-wins within the batch for determinism).
+
+    ``near_index_dir`` enables the NEAR-duplicate tier (round-2 verdict
+    item 6): alongside the exact probe, each micro-batch's fresh canonicals
+    are MinHash-signed, LSH-probed against a persistent band index of every
+    previously stored representative, exact-Jaccard verified, and linked to
+    the matched representative's cluster — so an arriving near-duplicate
+    (not byte-identical) joins the existing cluster instead of founding a
+    new one. The index is append-only: ``{near_index_dir}/docs`` holds
+    ``(conv_id, doc, cluster_id)`` per stored representative,
+    ``{near_index_dir}/bands`` its ``(conv_id, band_id, band_hash)`` rows.
+    Scale shape: the probe is an equi-join on ``(band_id, band_hash)`` —
+    at 10^12 turns the two directories become Iceberg tables bucketed on
+    ``band_hash`` / ``conv_id`` and the join stays bucket-local; per-batch
+    cost is O(batch x band collisions), never O(index).
+
+    Determinism/immutability rules, mirroring the batch tiers: existing
+    assignments are never rewritten (first-match-wins across time,
+    matching.c:320-375); multi-matches resolve to the MINIMUM stored
+    cluster_id; within-batch near-dup components (connected_components
+    over verified batch edges) anchor on the minimum stored cluster any
+    member linked to, else the minimum batch conv_id.
     """
 
-    def __init__(self, spark: SparkSession, clusters_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        clusters_dir: str,
+        near_index_dir: str | None = None,
+        cfg: DedupConfig | None = None,
+    ):
         self.spark = spark
         self.clusters_dir = clusters_dir
+        self.near_index_dir = near_index_dir
+        self.cfg = cfg or DedupConfig()
 
     def _existing(self) -> DataFrame | None:
         try:
@@ -128,7 +162,137 @@ class IncrementalDedup:
             "xxh64",
             F.coalesce(F.col("e_cluster"), F.col("batch_canon")).alias("cluster_id"),
         )
+        if self.near_index_dir is not None:
+            out = self._near_resolve(out, docs.select("conv_id", "doc"))
         out.write.mode("append").parquet(self.clusters_dir)
+
+    def _read_index(self, sub: str) -> DataFrame | None:
+        path = os.path.join(self.near_index_dir, sub)
+        try:
+            if any(f.endswith(".parquet") for f in os.listdir(path)):
+                return self.spark.read.parquet(path)
+        except FileNotFoundError:
+            pass
+        return None
+
+    def _near_resolve(self, out: DataFrame, docs_text: DataFrame) -> DataFrame:
+        """Near-dup tier over the exact tier's output: link this batch's
+        FRESH canonicals (cluster_id == conv_id, i.e. content the exact
+        probe didn't recognize) to stored near-duplicate representatives,
+        then append the batch's representatives to the index."""
+        cfg = self.cfg
+        # barrier: `out` feeds the fresh-canonical filter, the remap join,
+        # and the final write — materialize once (micro-batch sized)
+        out = out.localCheckpoint(eager=True)
+        fresh = (
+            out.filter(F.col("cluster_id") == F.col("conv_id"))
+            .select("conv_id")
+            .join(docs_text, "conv_id")
+        ).localCheckpoint(eager=True)
+
+        bands = band_buckets(compute_signatures(fresh, cfg), cfg).localCheckpoint(
+            eager=True
+        )
+
+        # --- cross-batch probe: batch bands vs stored representative bands
+        idx_docs = self._read_index("docs")
+        links = None
+        if idx_docs is not None:
+            idx_bands = self._read_index("bands")
+            cand = (
+                bands.select("conv_id", "band_id", "band_hash")
+                .join(
+                    idx_bands.select(
+                        F.col("conv_id").alias("b"), "band_id", "band_hash"
+                    ),
+                    ["band_id", "band_hash"],
+                )
+                .select(F.col("conv_id").alias("a"), "b")
+                .distinct()
+            )
+            union_docs = fresh.unionByName(idx_docs.select("conv_id", "doc"))
+            verified = verify_pairs(cand, union_docs, cfg)
+            # min stored cluster across all verified matches: deterministic
+            # under replay and under multi-match
+            links = (
+                verified.join(
+                    idx_docs.select(
+                        F.col("conv_id").alias("b"),
+                        F.col("cluster_id").alias("idx_cluster"),
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("idx_cluster").alias("idx_link"))
+            )
+
+        # --- within-batch near-dup components among fresh canonicals
+        batch_pairs = pairs_from_buckets(
+            bands.select("conv_id", "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+            cfg,
+        )
+        batch_edges = verify_pairs(batch_pairs, fresh, cfg).select("a", "b")
+        comp = connected_components(
+            batch_edges, vertices=fresh.select("conv_id")
+        ).withColumnRenamed("cluster_id", "comp_label")
+
+        # --- anchor each component on the minimum stored cluster any member
+        # linked to; components with no stored link keep min batch conv_id
+        if links is not None:
+            with_links = comp.join(
+                links.withColumnRenamed("a", "conv_id"), "conv_id", "left"
+            )
+            anchors = with_links.groupBy("comp_label").agg(
+                F.min("idx_link").alias("anchor")
+            )
+            final = comp.join(anchors, "comp_label").select(
+                "conv_id",
+                F.coalesce("anchor", "comp_label").alias("final_cluster"),
+            )
+        else:
+            final = comp.select(
+                "conv_id", F.col("comp_label").alias("final_cluster")
+            )
+        final = final.localCheckpoint(eager=True)
+
+        # --- append this batch's representatives to the index, labeled with
+        # their FINAL cluster so future probes inherit through chains
+        # (B~A stored as cluster A; later C~B links to A even if C !~ A).
+        # Anti-join on already-stored ids: a replay after a crash between
+        # the index append and the clusters append must not duplicate rows
+        # (duplicates would still resolve identically via min(), but the
+        # index should not bloat under retries).
+        rep_docs = fresh.join(final, "conv_id").select(
+            "conv_id", "doc", F.col("final_cluster").alias("cluster_id")
+        )
+        if idx_docs is not None:
+            rep_docs = rep_docs.join(
+                idx_docs.select("conv_id"), "conv_id", "left_anti"
+            )
+        rep_docs = rep_docs.localCheckpoint(eager=True)
+        rep_docs.select("conv_id", "doc", "cluster_id").write.mode(
+            "append"
+        ).parquet(os.path.join(self.near_index_dir, "docs"))
+        bands.join(rep_docs.select("conv_id"), "conv_id", "left_semi").write.mode(
+            "append"
+        ).parquet(os.path.join(self.near_index_dir, "bands"))
+
+        # --- remap the exact tier's assignments through the near links
+        mapping = final.select(
+            F.col("conv_id").alias("m_canon"), "final_cluster"
+        )
+        return (
+            out.join(mapping, out["cluster_id"] == F.col("m_canon"), "left")
+            .select(
+                "conv_id",
+                "n_turns",
+                "doc_len",
+                "md5",
+                "xxh64",
+                F.coalesce("final_cluster", "cluster_id").alias("cluster_id"),
+            )
+        )
 
     def start(self, input_dir: str, checkpoint_dir: str) -> StreamingQuery:
         """File-source stream -> foreachBatch incremental dedup. The

@@ -118,21 +118,35 @@ def substring_pairs(
     cap+1 documents share one selected fingerprint, far-apart pairs within
     that bucket are screened out (still chained for connectivity through
     CC, the dedup use-case, but absent from the emitted pair LIST).
-    ``complete=True`` lifts the cap so the output is exactly the
-    brute-force "shares a token run >= R" pair set — the deterministic,
+    ``complete=True`` switches candidate generation to a plain
+    fingerprint self-join, so the output is exactly the brute-force
+    "shares a token run >= R" pair set — the deterministic,
     oracle-checkable contract; use it when the pair list itself is the
     product and the corpus is known to be boilerplate-bounded.
     """
-    if complete:
-        # exact up to SHARD_TARGET members per fingerprint bucket (the
-        # collect_list row-size bound still pre-salts degenerate buckets)
-        from dataclasses import replace
-
-        cfg = replace(cfg, max_band_bucket=1 << 30)
     fps = fingerprints(docs, cfg)
-    # eager: see pairs_from_buckets — hygiene barrier for long-lived
-    # sessions, skippable in single-job runs
-    cands = pairs_from_buckets(fps, ["fp"], cfg, eager=eager)
+    if complete:
+        # Exact pair set via a flat self-join on fp: no collected member
+        # arrays (a near-SHARD_TARGET bucket would expand ~n^2/2 structs
+        # into ONE multi-GB row under the banded path with the cap lifted)
+        # and no pre-salt shard boundaries to silently drop pairs across —
+        # AQE's skew-join splitting parallelizes hot fingerprints instead.
+        # O(sum_fp df(fp)^2) join rows by construction: complete mode is
+        # the oracle/product contract, not the 10^12-turn screen.
+        left = fps.select(F.col("conv_id").alias("a"), "fp")
+        right = fps.select(F.col("conv_id").alias("b"), "fp")
+        cands = (
+            left.join(right, "fp")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        if eager:
+            cands = cands.localCheckpoint(eager=True)
+    else:
+        # eager: see pairs_from_buckets — hygiene barrier for long-lived
+        # sessions, skippable in single-job runs
+        cands = pairs_from_buckets(fps, ["fp"], cfg, eager=eager)
 
     w = cfg.substring_w + cfg.winnow_window - 1
     da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))

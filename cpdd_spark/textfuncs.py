@@ -14,6 +14,43 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# canonical whitespace tokenizer (ONE definition, three engines)
+# ---------------------------------------------------------------------------
+# Every shingle-bearing path — the pandas shingle kernel
+# (signatures.shingle_hashes -> str.split()), the JVM n-gram index
+# (ngram.ngram_sets -> ws_tokens), and the DuckDB oracle SQL
+# (__spark_entry__.WS_SQL) — tokenizes on the SAME character set: Python's
+# ``str.split()`` whitespace, i.e. Unicode White_Space ∪ {U+001C..U+001F}.
+# Neither engine's ``\s`` can express it: Java's ``\s`` is ASCII-only and
+# includes \x0B, RE2's ``\s`` is ASCII-only and excludes \x0B, and both
+# keep the empty token a leading separator produces — so the class is
+# spelled out EXPLICITLY and empties are dropped on every path. This is
+# what makes "LSH-verified Jaccard == inverted-index Jaccard == oracle
+# Jaccard" hold on arbitrary corpora (whitespace-wise; 64-bit shingle-hash
+# collisions remain the one disclosed divergence of the hashed paths).
+_WS_CODEPOINTS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+# Java regex class (literal codepoints travel fine through py4j)
+WS_JAVA = "[" + _WS_CODEPOINTS + "]"
+# RE2 (DuckDB regexp_*) class — escaped form, since SQL strings are easier
+# to audit without raw control characters embedded
+WS_RE2 = (
+    r"[\t\n\x0B\x0C\r\x1C-\x1F \x{85}\x{A0}\x{1680}"
+    r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]"
+)
+
+
+def ws_tokens(text: "Column | str") -> "Column":
+    """JVM-side twin of pandas ``str.split()``: split on the canonical
+    whitespace class, drop empty tokens (leading/trailing separators)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, WS_JAVA + "+"), lambda t: t != F.lit(""))
+
+
 # tiny pinned stopword list — the lang-ID/quality heuristics key off it;
 # pinned here so Spark and oracle SQL provably use the same list
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]

@@ -43,10 +43,17 @@ def verify_pairs(
 
     da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
     db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
-    # shuffle-hash hints: build the hash table on the (small, O(candidates))
-    # pair side and STREAM the document side — sort-merge would sort the
-    # full doc text once per join (2 sorts of the rep corpus per verify).
-    # Build-side memory is bounded: pairs are O(dups) and hash-partitioned.
+    # shuffle-hash hints, stated precisely: join 1 builds its hash table
+    # from the SLIM pair list (keys only) and streams the docs; join 2
+    # builds from (pairs JOIN doc_a) — candidate-count x doc_a bytes per
+    # hash partition — and streams the docs again. Sort-merge would instead
+    # sort the full rep-corpus text twice per verify, which measures worse
+    # at every shipped scale. Caveat on a dup-HEAVY corpus: join 2's build
+    # side grows with candidates x doc size; the valves are (a) shuffle
+    # partition count (build is per-partition), and (b) at 10^12 turns the
+    # verify tier should join stored shingle-hash arrays instead of raw
+    # text (see module docstring) — the swap is isolated behind this
+    # function.
     joined = (
         pairs.hint("shuffle_hash")
         .join(da, "a")

@@ -63,6 +63,69 @@ def test_region_revenue_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def _window_is_partitionless(line: str) -> bool:
+    """Parse a physical-plan 'Window ...' line. Spark prints only the
+    NON-EMPTY specs: ([funcs], [part], [order]) when fully specified,
+    ([funcs], [part]) for partitioned-unordered, ([funcs], [order]) for the
+    partition-less 'Moving all data to a single partition' shape. With two
+    groups, the second is an ORDER spec (and the window partition-less) iff
+    it carries sort directions."""
+    s = line[line.index("Window ") + len("Window ") :]
+    depth = 0
+    groups: list[str] = []
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                start = i
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    if len(groups) >= 3:
+        return False
+    if len(groups) <= 1:
+        return True  # funcs only: no partition, no order
+    second = groups[1]
+    return " ASC" in second or " DESC" in second
+
+
+def test_no_unbounded_single_partition_window(spark):
+    """Scale guard (round-2 verdict item 2): no queries() plan may funnel
+    an UNBOUNDED input through a partition-less Window (WindowExec moves
+    all rows to one task — a scale-killer invisible at sf0.001). A
+    partition-less Window is tolerated only when the plan bounds its input
+    first (TakeOrderedAndProject / GlobalLimit — e.g. ship_priority ranks
+    the already-limited top-10)."""
+    import __spark_entry__ as entry_mod
+
+    offenders = []
+    for name, q in entry_mod.queries().items():
+        if name == "pipeline_metrics":
+            continue  # runs a full pipeline at build time; covered by test_pipeline
+        plan = _plan(q(spark, SF))
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Window [" not in line:
+                continue
+            if not _window_is_partitionless(line):
+                continue  # partitioned: parallel
+            below = "\n".join(lines[i:])  # children print after the node
+            if "TakeOrderedAndProject" not in below and "GlobalLimit" not in below:
+                offenders.append((name, line.strip()))
+    assert offenders == [], f"partition-less Window over unbounded input: {offenders}"
+
+
+def test_ship_priority_take_ordered(spark):
+    """The Q3 top-10 must compile to TakeOrderedAndProject (parallel
+    per-partition heaps), not a global-window rank over the aggregate."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["ship_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_exact_eager_path_skips_window(spark, turns_df):
     from cpdd_spark.exact import exact_clusters
 

@@ -92,3 +92,96 @@ def test_stream_replay_idempotent(spark, dirs):
     dedup.process_batch(turns, 99)
     after = sorted(map(tuple, spark.read.parquet(dirs["clusters"]).collect()))
     assert before == after  # anti-join made the replay a no-op
+
+def _turns(spark, rows):
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _doc(n, start=0):
+    return " ".join(f"tok{i}" for i in range(start, start + n))
+
+
+@pytest.fixture()
+def near_dirs(tmp_path):
+    d = {k: str(tmp_path / k) for k in ("in", "clusters", "ckpt", "nearidx")}
+    os.makedirs(d["in"])
+    return d
+
+
+def test_stream_near_dup_links_across_batches(spark, near_dirs):
+    """Verdict item 6: a NEAR-duplicate (not exact) arriving in batch 2
+    must link to batch 1's canonical through the persisted LSH index."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    # batch 1: one 60-token conversation
+    dedup.process_batch(_turns(spark, [("orig", 0, "user", _doc(60), "", None)]), 0)
+    # batch 2: 50-token prefix (jaccard (50-4)/(60-4) ~ 0.82 >= tau) + one
+    # unrelated doc
+    dedup.process_batch(
+        _turns(
+            spark,
+            [
+                ("near1", 0, "user", _doc(50), "", None),
+                ("other", 0, "user", _doc(40, start=500), "", None),
+            ],
+        ),
+        1,
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got["near1"] == got["orig"], got
+    assert got["other"] == "other"
+
+
+def test_stream_near_dup_within_batch_and_chain(spark, near_dirs):
+    """Within-batch near-dups resolve through CC with min-id canonical;
+    a later near-dup of a LINKED (non-canonical) rep inherits the stored
+    cluster (chain inheritance through the index labels)."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    # batch 1: a1 and a2 are near-dups of each other (within-batch)
+    dedup.process_batch(
+        _turns(
+            spark,
+            [
+                ("a1", 0, "user", _doc(60), "", None),
+                ("a2", 0, "user", _doc(52), "", None),
+            ],
+        ),
+        0,
+    )
+    # batch 2: b1 near a2 (48/52-gram overlap) — links through a2's stored
+    # cluster label, which is a1
+    dedup.process_batch(
+        _turns(spark, [("b1", 0, "user", _doc(48), "", None)]), 1
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got == {"a1": "a1", "a2": "a1", "b1": "a1"}, got
+
+
+def test_stream_near_exact_dup_still_exact_tier(spark, near_dirs):
+    """With the near tier on, byte-identical arrivals still link via the
+    exact probe (and don't bloat the near index with duplicate reps)."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("x1", 0, "user", _doc(60), "", None)]), 0)
+    dedup.process_batch(_turns(spark, [("x2", 0, "user", _doc(60), "", None)]), 1)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got == {"x1": "x1", "x2": "x1"}
+    idx = spark.read.parquet(os.path.join(near_dirs["nearidx"], "docs"))
+    assert [r["conv_id"] for r in idx.collect()] == ["x1"]  # one rep stored
