@@ -51,7 +51,7 @@ from cpdd_spark.textfuncs import (
     stopword_count,
     token_count,
 )
-from cpdd_spark.verify import verify_pairs
+from cpdd_spark.verify import verify_pairs, verify_pairs_sets
 
 CFG = DedupConfig()
 TURN_TOKENS = 10
@@ -255,17 +255,25 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION MinHash route: signatures -> LSH bands -> exact-Jaccard
-    verify, NO recall backstop — the path pipeline.py / two_scale.py run at
-    scale. Recall is probabilistic (b=32, r=4: P[miss] ~ 1.5e-4 per pair at
-    tau), so this is benchmarked (bench.py HEADLINE), not oracle-gated;
-    :func:`q_minhash_pairs` is the deterministic oracle-mode twin."""
-    docs = _assembled(spark, sf_dir).persist()
-    sigs = compute_signatures(docs, CFG)
-    result = verify_pairs(
-        candidate_pairs(sigs, CFG, eager=False), docs, CFG
+    """PRODUCTION MinHash route: ONE fused Arrow pass (signatures + shingle
+    sets) -> LSH bands -> pure-JVM exact-Jaccard verify over the stored
+    sets (verify_pairs_sets: array_intersect in codegen, no text joins, no
+    Python in the verify stage), NO recall backstop — the path pipeline.py
+    / two_scale.py run at scale. Recall is probabilistic (b=32, r=4:
+    P[miss] ~ 1.5e-4 per pair at tau), so this is benchmarked (bench.py
+    HEADLINE), not oracle-gated; :func:`q_minhash_pairs` is the
+    deterministic oracle-mode twin (bit-identical jaccard doubles — see
+    tests/test_lsh_verify.py::test_verify_pairs_sets_matches_kernel)."""
+    docs = _assembled(spark, sf_dir)
+    # persist: the fused pass feeds both the band generator and the verify
+    # join (in the pipeline this is a materialized stage table instead)
+    sigs = compute_signatures(docs, CFG, with_sets=True).persist()
+    result = verify_pairs_sets(
+        candidate_pairs(sigs, CFG, eager=False),
+        sigs.select("conv_id", "shingles"),
+        CFG,
     ).localCheckpoint(eager=True)
-    docs.unpersist()
+    sigs.unpersist()
     return result
 
 
@@ -625,7 +633,13 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue)
     )
     top10 = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
-    w = Window.orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+    # partitionBy(lit) declares the single partition EXPLICITLY: same plan
+    # as a partition-less window over these <= 10 rows, minus the WindowExec
+    # "moving all data to a single partition" warning that would otherwise
+    # spam the bench tail for a deliberate, bounded choice
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey")
+    )
     return top10.select(
         "l_orderkey",
         "revenue",

@@ -40,7 +40,7 @@ from cpdd_spark.lsh import candidate_pairs
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.substring import substring_pairs
 from cpdd_spark.textfuncs import human_bytes
-from cpdd_spark.verify import verify_pairs
+from cpdd_spark.verify import verify_pairs_sets
 
 
 def materialize_clusters(clusters: DataFrame, docs: DataFrame) -> DataFrame:
@@ -154,12 +154,24 @@ class DedupPipeline:
             "conv_id",
         )
 
+        # with_sets: the one fused Arrow pass also materializes each rep's
+        # distinct shingle-hash set next to its signature, so the verify
+        # stage below is pure JVM (array_intersect over the stored table —
+        # no text joins, no Python workers; verify_pairs_sets docstring).
+        # Band generation reads only (conv_id, n_shingles, minhash): the
+        # set column is pruned at that scan.
         sigs = self._stage(
-            "signatures", lambda: compute_signatures(reps, cfg), resume
+            "signatures",
+            lambda: compute_signatures(reps, cfg, with_sets=True),
+            resume,
         )
         verified = self._stage(
             "verified_pairs",
-            lambda: verify_pairs(candidate_pairs(sigs, cfg), reps, cfg),
+            lambda: verify_pairs_sets(
+                candidate_pairs(sigs, cfg),
+                sigs.select("conv_id", "shingles"),
+                cfg,
+            ),
             resume,
         )
 

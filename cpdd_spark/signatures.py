@@ -199,9 +199,21 @@ def _simhash(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return out.view(np.int64)
 
 
-def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+def compute_signatures(
+    docs: DataFrame, cfg: DedupConfig, with_sets: bool = False
+) -> DataFrame:
     """``documents(conv_id, .., doc)`` ->
     ``signatures(conv_id, n_shingles, minhash array<long>[k], simhash long)``.
+
+    ``with_sets=True`` additionally emits ``shingles array<long>`` — each
+    doc's distinct sorted shingle-hash set — from the SAME fused Arrow pass
+    (the text is traversed once either way; this extends the reference's
+    one-read multi-tier design, matching.c:110-129, to the verify tier's
+    input). Materializing signatures WITH sets is what lets verification
+    run entirely JVM-side against the stored table
+    (:func:`cpdd_spark.verify.verify_pairs_sets`), and consumers that only
+    band the minhash columns still prune the set column at the parquet/
+    Iceberg scan.
     """
     consts = _perm_params(cfg)
     w = cfg.shingle_w
@@ -211,16 +223,53 @@ def compute_signatures(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
             h, offsets = shingle_hashes(pdf["doc"], w)
             sig = _minhash(h, offsets, consts)
             sim = _simhash(h, offsets)
+            cols = {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "n_shingles": np.diff(offsets),
+                "minhash": list(sig),
+                "simhash": sim,
+            }
+            if with_sets:
+                cols["shingles"] = [
+                    np.unique(h[offsets[i] : offsets[i + 1]]).view(np.int64)
+                    for i in range(len(pdf))
+                ]
+            yield pd.DataFrame(cols)
+
+    schema = SIG_SCHEMA + (", shingles array<long>" if with_sets else "")
+    return docs.select("conv_id", "doc").mapInPandas(kernel, schema=schema)
+
+
+SHINGLE_SET_SCHEMA = "conv_id string, shingles array<long>"
+
+
+def shingle_sets(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``documents(conv_id, .., doc)`` -> ``(conv_id, shingles)`` with
+    ``shingles`` the DISTINCT sorted 64-bit shingle hashes (int64 view).
+
+    The precomputed form of what the verify tier's Arrow kernel derives
+    from raw text on every invocation: at index-build time each document's
+    shingle set is materialized ONCE, and verification becomes a pure-JVM
+    ``array_intersect`` over slim hash arrays (see
+    cpdd_spark.verify.verify_pairs_sets) — no document text, and no Python
+    worker, anywhere in the verify hot path. Docs with < w tokens emit an
+    empty array (the exact tier's jurisdiction, as everywhere)."""
+    w = cfg.shingle_w
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, offsets = shingle_hashes(pdf["doc"], w)
+            sets = [
+                np.unique(h[offsets[i] : offsets[i + 1]]).view(np.int64)
+                for i in range(len(pdf))
+            ]
             yield pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"].to_numpy(),
-                    "n_shingles": np.diff(offsets),
-                    "minhash": list(sig),
-                    "simhash": sim,
-                }
+                {"conv_id": pdf["conv_id"].to_numpy(), "shingles": sets}
             )
 
-    return docs.select("conv_id", "doc").mapInPandas(kernel, schema=SIG_SCHEMA)
+    return docs.select("conv_id", "doc").mapInPandas(
+        kernel, schema=SHINGLE_SET_SCHEMA
+    )
 
 
 def exact_jaccard_sets(doc_a: str, doc_b: str, w: int) -> float:

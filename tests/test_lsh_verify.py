@@ -125,3 +125,31 @@ def test_simhash_candidates_find_very_near_dups(spark, reps_df, docs_df):
     sigs = compute_signatures(reps_df, CFG)
     got = {(r["a"], r["b"]) for r in simhash_candidates(sigs, CFG).collect()}
     assert very_near <= got, f"missed: {very_near - got}"
+
+
+def test_verify_pairs_sets_matches_kernel(spark, turns_df):
+    """The JVM array_intersect verifier must emit bit-identical jaccard to
+    the Arrow kernel for every LSH candidate (same distinct int64 sets,
+    same division)."""
+    from cpdd_spark.assemble import assemble_documents
+    from cpdd_spark.config import DedupConfig
+    from cpdd_spark.lsh import candidate_pairs
+    from cpdd_spark.signatures import compute_signatures, shingle_sets
+    from cpdd_spark.verify import verify_pairs, verify_pairs_sets
+
+    cfg = DedupConfig()
+    docs = assemble_documents(turns_df).persist()
+    cands = candidate_pairs(compute_signatures(docs, cfg), cfg)
+    kernel = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in verify_pairs(cands, docs, cfg, keep_all=True).collect()
+    }
+    jvm = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in verify_pairs_sets(
+            cands, shingle_sets(docs, cfg), cfg, keep_all=True
+        ).collect()
+    }
+    docs.unpersist()
+    assert len(kernel) > 0
+    assert kernel == jvm  # exact double equality, every candidate
