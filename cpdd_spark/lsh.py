@@ -162,24 +162,46 @@ def candidate_pairs(
 def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Near-dup screen over SimHash: pairs with Hamming(a, b) <= t.
 
-    Block on bit-bands of the 64-bit fingerprint (pigeonhole: with
-    ``n_blocks = t + 1`` blocks, any pair within Hamming distance t collides
-    on at least one whole block), then filter exactly on popcount — again
+    Blocking key = PAIRS of bit-blocks (Manku/Jain/Sarma, "Detecting
+    Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
+    fingerprint into ``m = t + 2`` blocks — a pair within Hamming t has
+    differing bits in at most t blocks, so at least 2 blocks are clean on
+    both sides, so it collides on at least one of the C(m, 2) (block_i,
+    block_j) value keys (pigeonhole). Then filter exactly on popcount —
     the screen-then-verify discipline of matching.c:77-83.
+
+    Why pairs and not the t+1 single blocks: single-block keys carry only
+    64/(t+1) bits (t=6: 9 bits -> 512 distinct values), so bucket
+    populations grow LINEARLY with corpus size past ~512 docs and the
+    candidate volume quadratically — measured 8M+ candidate pairs on the
+    35k-doc bench corpus. Block-pair keys carry ~2x the bits (t=6: 16
+    -> 65k values) for C(8,2)/C(7,1) = 4x the index rows: buckets shrink
+    ~128x and the screen stays collision-driven, not population-driven,
+    at every corpus size. (The same move scales further: key on triples
+    with m = t + 3 when even 2^16 buckets saturate.)
     """
-    n_blocks = cfg.simhash_hamming_max + 1
-    width = 64 // n_blocks
+    t = cfg.simhash_hamming_max
+    m = t + 2
+    # m near-even block widths covering all 64 bits (uneven tails keep the
+    # pigeonhole argument: any disjoint partition works)
+    bounds = [64 * i // m for i in range(m + 1)]
     sigs = signatures.filter(F.col("n_shingles") > 0)
-    blocks = F.array(
+
+    def block(i: int):
+        lo, hi = bounds[i], bounds[i + 1]
+        return F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+
+    combo_vals = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            for i in range(n_blocks)
+            F.shiftleft(block(i), 32).bitwiseOR(block(j))
+            for i in range(m)
+            for j in range(i + 1, m)
         ]
     )
     keyed = sigs.select(
-        "conv_id", F.posexplode(blocks).alias("block_id", "block_val")
+        "conv_id", F.posexplode(combo_vals).alias("block_id", "block_val")
     )
     cand = pairs_from_buckets(keyed, ["block_id", "block_val"], cfg)
     sa = sigs.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sim_a"))
