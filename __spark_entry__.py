@@ -40,7 +40,12 @@ from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.session import ship_package
 from cpdd_spark.signatures import compute_signatures
-from cpdd_spark.similarity import cosine_dup_pairs_lsh, cosine_topk, lsh_topk
+from cpdd_spark.similarity import (
+    cosine_dup_pairs_lsh,
+    cosine_topk,
+    ivf_topk,
+    lsh_topk,
+)
 from cpdd_spark.substring import substring_pairs
 from cpdd_spark import textfuncs
 from cpdd_spark.textfuncs import (
@@ -523,6 +528,48 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (k-means coarse quantizer, cell-probed: rows-only
+    check; the hard signal lives in :func:`q_ivf_recall`)."""
+    embs = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(embs, embs.filter("vec_id < 20"), dim=64, k=5)
+
+
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the IVF ANN path vs the exact top-5:
+    ``(query_id, n_hits, recall)`` — same protocol as :func:`q_ann_recall`
+    (hash-sampled seeded k-means + argmax assignment make the result a
+    pure function of the corpus; the DuckDB twin pins per-query values).
+
+    Expected magnitude: probing 8/64 cells on NEAR-RANDOM vectors (true
+    top-5 at cosine ~0.34) bounds recall well below 1; IVF, like the sign
+    LSH, earns its keep in the high-cosine regime. The pin checks
+    determinism of the whole train->assign->probe->rank path, not
+    retrieval quality on random data.
+    """
+    embs = _read(spark, sf_dir, "embeddings")
+    queries = embs.filter("vec_id < 20")
+    exact = cosine_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(embs, queries, dim=64, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(approx, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+                "recall"
+            ),
+        )
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction plumbing (stubbed decode:
     rows-only check)."""
@@ -755,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": q_exact_dedup_documents,
         "ann_topk": q_ann_topk,
         "ann_recall": q_ann_recall,
+        "ivf_recall": q_ivf_recall,
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
         "user_sessions": q_user_sessions,
@@ -771,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "signatures": q_signatures,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -894,6 +943,20 @@ def oracle_sql() -> dict[str, str]:
           (0, 2), (1, 1), (2, 1), (3, 2), (4, 2), (5, 0), (6, 4), (7, 2),
           (8, 1), (9, 2), (10, 1), (11, 1), (12, 2), (13, 1), (14, 1),
           (15, 4), (16, 2), (17, 2), (18, 0), (19, 2)
+        ) AS t(query_id, n_hits)
+        """,
+        # same pinned-VALUES protocol as ann_recall, for the IVF path:
+        # hash-sampled seeded k-means + argmax assignment are deterministic,
+        # so per-query recall@5 on the sf0.01 fixture is a constant (mean
+        # 0.49 at 8/64 probed cells on near-random vectors)
+        "ivf_recall": """
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               CAST(n_hits AS DOUBLE) / 5.0 AS recall
+        FROM (VALUES
+          (0, 3), (1, 5), (2, 3), (3, 1), (4, 5), (5, 2), (6, 0), (7, 3),
+          (8, 2), (9, 3), (10, 4), (11, 0), (12, 1), (13, 0), (14, 2),
+          (15, 2), (16, 3), (17, 4), (18, 3), (19, 3)
         ) AS t(query_id, n_hits)
         """,
         "embed_dup_pairs": f"""

@@ -66,6 +66,7 @@ EXTRA = [
     "user_sessions",     # gap sessionization (lag + cumsum windows)
     "bpe_token_count",   # BPE-regex token counting
     "ann_lsh_topk",      # hyperplane-LSH ANN (matmul sketch path)
+    "ann_ivf_topk",      # IVF-Flat ANN (k-means coarse quantizer)
 ]
 
 

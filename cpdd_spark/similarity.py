@@ -278,3 +278,167 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + cell-probed search
+# ---------------------------------------------------------------------------
+
+def _kmeans_spherical(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic spherical k-means on a (n, d) sample: seeded init by
+    sample points, Lloyd iterations with cosine (dot-on-normalized)
+    assignment, empty cells re-seeded deterministically. Returns (k, d)
+    L2-normalized centroids. Small-n driver-side helper — the sample is
+    bounded (see ivf_index), never the corpus."""
+    rng = np.random.default_rng(seed)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    centroids = xn[rng.choice(len(xn), size=min(k, len(xn)), replace=False)]
+    if len(centroids) < k:  # degenerate tiny sample: pad with random planes
+        pad = rng.normal(size=(k - len(centroids), x.shape[1]))
+        pad /= np.maximum(np.linalg.norm(pad, axis=1, keepdims=True), 1e-12)
+        centroids = np.vstack([centroids, pad])
+    for _ in range(iters):
+        assign = np.argmax(xn @ centroids.T, axis=1)
+        for c in range(k):
+            members = xn[assign == c]
+            if len(members) == 0:
+                # deterministic re-seed: the sample point farthest from its
+                # centroid (classic k-means empty-cluster repair)
+                sims = (xn * centroids[assign]).sum(axis=1)
+                centroids[c] = xn[int(np.argmin(sims))]
+            else:
+                m = members.sum(axis=0)
+                centroids[c] = m / max(np.linalg.norm(m), 1e-12)
+    return centroids.astype(np.float64)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_centroids: int = 64,
+    sample_mod: int = 16,
+    max_sample: int = 65536,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the coarse quantizer on a DETERMINISTIC hash-sample of the
+    corpus (xxhash64(id) % sample_mod == 0 — unbiased w.r.t. insertion
+    order, reproducible across runs/cluster sizes), capped at
+    ``max_sample`` rows collected to the driver. At 10^12 scale the sample
+    is still O(max_sample): training cost does not grow with the corpus."""
+    sample = (
+        corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), sample_mod) == 0
+        )
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(max_sample)
+        .toPandas()
+    )
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    return _kmeans_spherical(x, n_centroids, iters, seed)
+
+
+def ivf_cells(
+    df: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroid cells in one
+    Arrow matmul pass: ``(id, cell)``. Corpus vectors index with
+    ``n_probe=1`` (one posting per vector); queries probe several cells."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            sims = x @ cn.T  # (n, k)
+            if n_probe == 1:
+                cells = np.argmax(sims, axis=1).astype(np.int32)[:, None]
+            else:
+                p = min(n_probe, sims.shape[1])
+                cells = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(
+                    np.int32
+                )
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), cells.shape[1]),
+                    "cell": cells.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, schema="id long, cell int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-Flat approximate top-k: ``(query_id, neighbor_id, cosine,
+    rank)`` — the coarse-quantizer scale path next to :func:`lsh_topk`'s
+    hyperplane path (FAISS's IVF design re-expressed as DataFrame joins).
+
+    Shape: corpus posts ONE row per vector into its nearest cell; each
+    query probes its ``n_probe`` nearest cells; candidates come from one
+    equi-join on ``cell`` (partition-pruned when the posting table is
+    written partitioned/bucketed by cell), then exact cosine + rank — the
+    same screen-then-verify discipline as every tier here. Expected probe
+    cost per query is ``n_probe/n_centroids`` of the corpus (cell-balance
+    dependent), vs the corpus scan of :func:`cosine_topk`.
+
+    Deterministic end-to-end: hash-sampled seeded k-means training
+    (:func:`ivf_centroids`), argmax/argpartition assignment, ties in the
+    final rank broken by neighbor_id. Pass precomputed ``centroids`` to
+    reuse a trained quantizer (e.g. the stored-index form).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(
+            corpus, dim, n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    posts = ivf_cells(corpus, centroids, 1, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), "cell"
+    )
+    probes = ivf_cells(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col("id").alias("query_id"), "cell"
+    )
+    cands = (
+        probes.join(posts, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = cands.join(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_a")),
+        "query_id",
+    ).join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_b")),
+        "neighbor_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        with_cosine(scored)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -65,7 +65,7 @@ def run_once(cores: int) -> dict:
     from cpdd_spark.session import get_spark
     from cpdd_spark.signatures import compute_signatures
     from cpdd_spark.substring import substring_pairs
-    from cpdd_spark.verify import verify_pairs
+    from cpdd_spark.verify import verify_pairs_sets
 
     cfg = DedupConfig()
     # N vs 4N EXECUTORS, literally: local-cluster spawns separate executor
@@ -154,7 +154,11 @@ def run_once(cores: int) -> dict:
         exact.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
         "conv_id",
     ).persist()
-    sigs = compute_signatures(reps, cfg).persist()
+    # with_sets: one fused Arrow pass emits signatures AND shingle sets;
+    # verification below is then pure JVM (array_intersect over the
+    # persisted sets — no text joins, no Python workers in the verify
+    # stage), matching what DedupPipeline ships
+    sigs = compute_signatures(reps, cfg, with_sets=True).persist()
     if instrument:
         sigs.count(); t = lap("signatures", t)
     # eager=False: this is a one-job session — skip the cache-hygiene
@@ -162,7 +166,9 @@ def run_once(cores: int) -> dict:
     # join (the barrier is pure serial time, identical at every cluster
     # size; see pairs_from_buckets)
     cands = candidate_pairs(sigs, cfg, eager=False)
-    verified = verify_pairs(cands, reps, cfg).persist()
+    verified = verify_pairs_sets(
+        cands, sigs.select("conv_id", "shingles"), cfg
+    ).persist()
     if instrument:
         verified.count(); t = lap("candidates+verify", t)
     # substring tier: part of the mandated pipeline (north rule lists the

@@ -198,3 +198,45 @@ def test_multimodal_plumbing(spark, docs):
     frames = frame_sample(media, every_n=64, max_frames=4)
     fr = frames.collect()
     assert all(f["frame_idx"] < 4 for f in fr)
+
+
+def test_ivf_topk_finds_planted_neighbors(spark):
+    """IVF-Flat on planted near-duplicates (cosine ~0.99): base vectors
+    plus tiny noise must retrieve each other as top-1 through the
+    cell-probe path (near-identical vectors quantize to the same or an
+    adjacent probed cell)."""
+    from cpdd_spark.similarity import ivf_topk
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(80, 64))
+    rows = []
+    for i in range(80):
+        rows.append((i, base[i].tolist()))
+        rows.append((1000 + i, (base[i] + rng.normal(scale=0.02, size=64)).tolist()))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(
+        corpus, corpus.filter("vec_id < 80"), dim=64, k=1,
+        n_centroids=16, n_probe=4,
+    ).collect()
+    hits = sum(1 for r in got if r["neighbor_id"] == r["query_id"] + 1000)
+    assert hits / 80 >= 0.9, f"planted recall {hits/80}"
+
+
+def test_ivf_topk_deterministic(spark, embs):
+    """Seeded sampling + k-means + argmax assignment: two invocations are
+    row-identical (the property q_ivf_recall's pinned oracle rests on)."""
+    from cpdd_spark.similarity import ivf_topk
+
+    q = embs.filter("vec_id < 10")
+    a = sorted(map(tuple, ivf_topk(embs, q, dim=64, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(embs, q, dim=64, k=3).collect()))
+    assert a == b
+
+
+def test_ivf_centroids_deterministic_and_normalized(spark, embs):
+    from cpdd_spark.similarity import ivf_centroids
+
+    c1 = ivf_centroids(embs, dim=64, n_centroids=8, iters=3)
+    c2 = ivf_centroids(embs, dim=64, n_centroids=8, iters=3)
+    assert (c1 == c2).all()
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
