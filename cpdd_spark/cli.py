@@ -58,6 +58,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--preserve", action="store_true",
         help="carry per-turn role/tool/ts metadata into the documents table",
     )
+    p.add_argument(
+        "--stream", action="store_true",
+        help="incremental streaming dedup: treat the (single) --input as a "
+        "watched turns directory; new files are micro-batched, probed "
+        "against the accumulated clusters index, and appended (availableNow "
+        "trigger: drains what exists, then exits — rerun to pick up more)",
+    )
+    p.add_argument(
+        "--near-index", metavar="DIR", default=None,
+        help="with --stream: enable the NEAR-duplicate probe tier, storing "
+        "the representative band/doc index in DIR",
+    )
     p.add_argument("--stats", action="store_true", help="print dedup statistics")
     p.add_argument("--tau", type=float, default=None, help="Jaccard threshold")
     p.add_argument("--master", default="local[*]", help="Spark master URL")
@@ -78,6 +90,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.verbose:
         spark.sparkContext.setLogLevel("INFO")
     try:
+        if args.stream:
+            import os
+
+            from cpdd_spark.streaming import IncrementalDedup
+
+            if len(args.input) != 1:
+                print("--stream takes exactly one --input directory", file=sys.stderr)
+                return 2
+            clusters_dir = os.path.join(args.workdir, "clusters")
+            dedup = IncrementalDedup(
+                spark, clusters_dir, near_index_dir=args.near_index, cfg=cfg
+            )
+            dedup.start(
+                args.input[0], os.path.join(args.workdir, "checkpoint")
+            ).awaitTermination()
+            n = spark.read.parquet(clusters_dir).count()
+            print(f"streaming clusters index: {n} rows -> {clusters_dir}")
+            return 0
         turns = spark.read.parquet(*args.input)
         if args.preserve:
             # materialize a metadata-preserving documents table alongside

@@ -151,3 +151,45 @@ def test_cli_end_to_end(spark, turns_df, tmp_path, capsys):
     assert "computed" not in capsys.readouterr().out.replace(
         "clusters table committed", ""
     )
+
+
+def test_cli_stream_mode(spark, tmp_path, capsys):
+    """--stream drives IncrementalDedup with the near tier: batch files
+    land, a rerun picks up a near-dup and links it across invocations."""
+    import os
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    work = str(tmp_path / "swork")
+    near = str(tmp_path / "nearidx")
+    doc = " ".join(f"tok{i}" for i in range(60))
+    sub = " ".join(f"tok{i}" for i in range(50))
+
+    def _drop(name, conv_id, text):
+        # the file stream source watches for FILES: write one parquet file
+        # (not a Spark part-directory) per arriving batch
+        import pandas as pd
+
+        pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": [""],
+                "ts": pd.array([pd.NaT], dtype="datetime64[us]"),
+            }
+        ).to_parquet(str(in_dir / name), index=False)
+
+    _drop("b1.parquet", "one", doc)
+    argv = ["--input", str(in_dir), "--workdir", work, "--stream", "--near-index", near]
+    assert main(argv, spark=spark) == 0
+    # second invocation: a near-dup file has arrived meanwhile
+    _drop("b2.parquet", "two", sub)
+    assert main(argv, spark=spark) == 0
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(work, "clusters")).collect()
+    }
+    assert got == {"one": "one", "two": "one"}, got
+    assert "streaming clusters index" in capsys.readouterr().out
