@@ -654,12 +654,13 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The top-10 is ``orderBy(...).limit(10)`` — Spark compiles that to
     ``TakeOrderedAndProject`` (per-partition heaps + a 10-row driver merge,
-    fully parallel). Rank is then derived by a window over the LIMITED
-    10-row result: the only partition-less window in the plan runs over
-    <= 10 rows at any corpus scale, never over the aggregate (the
-    partition-less-window-over-unbounded-input shape is banned by
-    tests/test_plans.py::test_no_unbounded_single_partition_window)."""
-    from pyspark.sql import Window
+    fully parallel). Rank is then derived WINDOW-FREE: the <= 10 surviving
+    rows aggregate into one sorted struct array (sort key: negated revenue
+    then orderkey — double negation is an exact sign flip, so the order is
+    bit-exact) and ``posexplode`` position + 1 is the rank. No WindowExec
+    anywhere in the plan, so nothing can ever funnel the UNLIMITED
+    aggregate through one task after a refactor (the shape
+    tests/test_plans.py::test_no_unbounded_single_partition_window bans)."""
 
     cust = _read(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -680,19 +681,23 @@ def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue)
     )
     top10 = agg.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
-    # partitionBy(lit) declares the single partition EXPLICITLY: same plan
-    # as a partition-less window over these <= 10 rows, minus the WindowExec
-    # "moving all data to a single partition" warning that would otherwise
-    # spam the bench tail for a deliberate, bounded choice
-    w = Window.partitionBy(F.lit(0)).orderBy(
-        F.col("revenue").desc(), F.col("l_orderkey")
+    row = F.struct(
+        (-F.col("revenue")).alias("neg_rev"),
+        F.col("l_orderkey").alias("k"),
+        F.col("revenue").alias("rev"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderpriority").alias("p"),
     )
-    return top10.select(
-        "l_orderkey",
-        "revenue",
-        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-        "o_orderpriority",
-        F.row_number().over(w).alias("rank"),
+    return (
+        top10.agg(F.sort_array(F.collect_list(row)).alias("rows"))
+        .select(F.posexplode("rows").alias("pos", "r"))
+        .select(
+            F.col("r.k").alias("l_orderkey"),
+            F.col("r.rev").alias("revenue"),
+            F.date_format("r.d", "yyyy-MM-dd").alias("orderdate"),
+            F.col("r.p").alias("o_orderpriority"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
     )
 
 

@@ -134,3 +134,23 @@ def test_exact_eager_path_skips_window(spark, turns_df):
     eager_plan = _plan(exact_clusters(docs, lazy_hash=False))
     assert lazy_plan.count("Window") == 2
     assert eager_plan.count("Window") == 1
+
+
+def test_no_unsanctioned_cartesian_products(spark):
+    """Global scale guard: the ONLY plans allowed to contain a cartesian
+    product are the two explicitly-documented exact ANN baselines
+    (ann_topk / embed_dup_pairs twin paths run brute force BY DESIGN as
+    the oracle twins of the LSH/IVF routes). Any other query acquiring a
+    crossJoin — e.g. a lost join key after a refactor — fails here before
+    it fails at 100x the data."""
+    import __spark_entry__ as entry_mod
+
+    ALLOWED = {"ann_topk", "ann_recall", "ivf_recall"}  # exact-baseline halves
+    offenders = []
+    for name, q in entry_mod.queries().items():
+        if name in ALLOWED or name == "pipeline_metrics":
+            continue
+        plan = _plan(q(spark, SF))
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert offenders == [], offenders
