@@ -1075,6 +1075,48 @@ def oracle_sql() -> dict[str, str]:
         FROM g37 l JOIN g37 r ON l.g = r.g AND l.id < r.id
         GROUP BY l.id, r.id
         """,
+        # SimHash is deterministic end-to-end (SipHash-keyed token hashes,
+        # fixed bit-plane aggregation, exact popcount filter), so the pair
+        # set on the pinned sf0.01 fixture is a constant — pinned VALUES,
+        # same protocol as ann_recall/ivf_recall. Any drift in the shingle
+        # hasher, the simhash kernel, or the block-pair screen breaks it.
+        "simhash_pairs": """
+        SELECT a, b, CAST(hamming AS INT) AS hamming
+        FROM (VALUES
+          ('conv_0', 'dup_0', 0), ('conv_10', 'dup_10', 0), ('conv_100', 'dup_100', 0),
+          ('conv_107', 'conv_387', 3), ('conv_110', 'dup_110', 0), ('conv_120', 'conv_332', 5),
+          ('conv_120', 'dup_120', 0), ('conv_130', 'dup_130', 0), ('conv_134', 'conv_87', 6),
+          ('conv_136', 'near_136', 6), ('conv_140', 'dup_140', 0), ('conv_143', 'near_143', 4),
+          ('conv_150', 'dup_150', 0), ('conv_152', 'conv_178', 4), ('conv_160', 'dup_160', 0),
+          ('conv_166', 'conv_323', 5), ('conv_170', 'dup_170', 0), ('conv_171', 'near_171', 6),
+          ('conv_180', 'dup_180', 0), ('conv_185', 'conv_61', 3), ('conv_190', 'dup_190', 0),
+          ('conv_20', 'dup_20', 0), ('conv_200', 'dup_200', 0), ('conv_210', 'dup_210', 0),
+          ('conv_220', 'dup_220', 0), ('conv_230', 'dup_230', 0), ('conv_24', 'near_24', 5),
+          ('conv_240', 'dup_240', 0), ('conv_245', 'conv_8', 2), ('conv_250', 'dup_250', 0),
+          ('conv_260', 'dup_260', 0), ('conv_267', 'conv_413', 4), ('conv_267', 'conv_45', 0),
+          ('conv_267', 'near_45', 5), ('conv_269', 'near_269', 6), ('conv_270', 'dup_270', 0),
+          ('conv_276', 'near_276', 5), ('conv_280', 'dup_280', 0), ('conv_283', 'near_283', 6),
+          ('conv_285', 'conv_301', 3), ('conv_290', 'conv_98', 6), ('conv_290', 'dup_290', 0),
+          ('conv_293', 'conv_58', 1), ('conv_295', 'conv_374', 6), ('conv_30', 'dup_30', 0),
+          ('conv_300', 'dup_300', 0), ('conv_31', 'conv_383', 3), ('conv_310', 'conv_389', 5),
+          ('conv_310', 'dup_310', 0), ('conv_318', 'near_318', 6), ('conv_320', 'dup_320', 0),
+          ('conv_326', 'conv_457', 6), ('conv_330', 'dup_330', 0), ('conv_332', 'dup_120', 5),
+          ('conv_340', 'dup_340', 0), ('conv_350', 'dup_350', 0), ('conv_360', 'dup_360', 0),
+          ('conv_370', 'dup_370', 0), ('conv_377', 'conv_72', 0), ('conv_380', 'dup_380', 0),
+          ('conv_388', 'near_388', 6), ('conv_389', 'dup_310', 5), ('conv_390', 'dup_390', 0),
+          ('conv_393', 'conv_420', 0), ('conv_393', 'dup_420', 0), ('conv_395', 'near_395', 6),
+          ('conv_40', 'dup_40', 0), ('conv_400', 'dup_400', 0), ('conv_410', 'dup_410', 0),
+          ('conv_413', 'conv_45', 4), ('conv_420', 'dup_420', 0), ('conv_423', 'near_423', 6),
+          ('conv_430', 'dup_430', 0), ('conv_435', 'conv_486', 6), ('conv_437', 'near_437', 4),
+          ('conv_44', 'conv_446', 2), ('conv_440', 'dup_440', 0), ('conv_444', 'near_444', 5),
+          ('conv_447', 'conv_70', 2), ('conv_447', 'dup_70', 2), ('conv_45', 'near_45', 5),
+          ('conv_450', 'conv_92', 6), ('conv_450', 'dup_450', 0), ('conv_458', 'conv_462', 1),
+          ('conv_460', 'dup_460', 0), ('conv_470', 'dup_470', 0), ('conv_480', 'dup_480', 0),
+          ('conv_490', 'dup_490', 0), ('conv_50', 'dup_50', 0), ('conv_60', 'dup_60', 0),
+          ('conv_70', 'dup_70', 0), ('conv_73', 'near_73', 4), ('conv_80', 'dup_80', 0),
+          ('conv_90', 'dup_90', 0), ('conv_92', 'dup_450', 6), ('conv_98', 'dup_290', 6)
+        ) AS t(a, b, hamming)
+        """,
         # stage cardinalities of the full pipeline: documents/exact/clusters
         # are corpus counts, signatures runs over exact-cluster reps,
         # verified_pairs == the exact n-gram pair set restricted to reps
