@@ -13,8 +13,11 @@ Uses ``foreachBatch`` because the dedup probe needs a join against the
 mutable clusters table — the documented pattern for stateful sinks that
 Structured Streaming's append-only model can't express natively. Watermarks
 are not needed for exact dedup of whole conversations (a conversation is
-complete by construction when its file lands); a late-turn variant would
-hang ``withWatermark('ts', ...)`` on this same scaffold.
+complete by construction when its file lands); for turn-level streams with
+LATE/out-of-order arrivals, :func:`assemble_stream` (watermark +
+session_window, all built-in) and :func:`assemble_stream_stateful`
+(``applyInPandasWithState``, EventTimeTimeout) assemble documents upstream
+of the same dedup scaffold.
 """
 
 from __future__ import annotations
@@ -312,3 +315,112 @@ class IncrementalDedup:
             .trigger(availableNow=True)
             .start()
         )
+
+
+# ---------------------------------------------------------------------------
+# streaming document assembly: late/out-of-order turns -> documents
+# ---------------------------------------------------------------------------
+
+ASSEMBLED_SCHEMA = "conv_id string, n_turns long, doc_len long, doc string"
+
+
+def assemble_stream(turns_stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Watermarked streaming assembly with BUILT-IN session windows: turns
+    may arrive out of order and across micro-batches; a conversation is
+    emitted once the event-time watermark passes its last turn's ``ts`` +
+    ``gap`` (append mode — exactly-once rows, no updates).
+
+    Semantics mirror :func:`cpdd_spark.assemble.assemble_documents` (stable
+    ``turn_idx`` ordering via in-group ``array_sort``; '\\n' separator),
+    with completion defined by EVENT-TIME gaps: a conversation quiet for
+    ``gap`` is closed — the same session discipline as the batch
+    sessionization query. A conversation resuming after a longer silence
+    starts a NEW session row by design; use
+    :func:`assemble_stream_stateful` when one state per conv_id must
+    persist across arbitrary silences.
+
+    Everything is built-in (watermark + session_window + object agg): no
+    Python in the stream, state store managed by Spark, late rows beyond
+    the watermark dropped with metrics — the preferred form at 10^12-turn
+    scale.
+    """
+    from pyspark.sql import functions as F
+
+    w = turns_stream.withWatermark("ts", gap)
+    return (
+        w.groupBy(F.session_window("ts", gap).alias("sw"), F.col("conv_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("turn_idx"), F.col("text")))
+            ).alias("turns")
+        )
+        .select(
+            "conv_id",
+            F.size("turns").cast("long").alias("n_turns"),
+            F.concat_ws("\n", F.transform("turns", lambda t: t["text"])).alias(
+                "doc"
+            ),
+        )
+        .withColumn("doc_len", F.length("doc").cast("long"))
+        .select("conv_id", "n_turns", "doc_len", "doc")
+    )
+
+
+def assemble_stream_stateful(
+    turns_stream: DataFrame, gap_seconds: int = 600
+) -> DataFrame:
+    """Custom stateful streaming assembly via ``applyInPandasWithState``
+    (the escape hatch for semantics session_window can't express): ONE
+    state per conv_id buffers (turn_idx, text) pairs across micro-batches;
+    the conversation is emitted when the event-time watermark passes its
+    latest turn + ``gap_seconds`` (EventTimeTimeout), regardless of how
+    many batches or how out-of-order its turns arrived.
+
+    State size is O(turns of in-flight conversations) — bounded by the
+    timeout horizon, not the stream length. Output schema and assembly
+    semantics are identical to the batch assembler (tested equal).
+    """
+    import pandas as pd
+
+    gap_ms = gap_seconds * 1000
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            idxs, texts = state.get
+            order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
+            doc = "\n".join(texts[i] for i in order)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [key[0]],
+                    "n_turns": [len(idxs)],
+                    "doc_len": [len(doc)],
+                    "doc": [doc],
+                }
+            )
+            return
+        idxs, texts = state.get if state.exists else ([], [])
+        max_ts = 0
+        for pdf in pdfs:
+            idxs = list(idxs) + [int(x) for x in pdf["turn_idx"]]
+            texts = list(texts) + [str(x) for x in pdf["text"]]
+            batch_max = pd.to_datetime(pdf["ts"]).max()
+            if pd.notna(batch_max):
+                max_ts = max(max_ts, int(batch_max.value // 1_000_000))
+        state.update((idxs, texts))
+        # event-time timeout: fires when the WATERMARK (not wall clock)
+        # passes last-turn-ts + gap — deterministic under replay
+        state.setTimeoutTimestamp(max_ts + gap_ms)
+        yield from ()
+
+    return (
+        turns_stream.withWatermark("ts", f"{gap_seconds} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType="idxs array<int>, texts array<string>",
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )

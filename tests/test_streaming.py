@@ -185,3 +185,98 @@ def test_stream_near_exact_dup_still_exact_tier(spark, near_dirs):
     assert got == {"x1": "x1", "x2": "x1"}
     idx = spark.read.parquet(os.path.join(near_dirs["nearidx"], "docs"))
     assert [r["conv_id"] for r in idx.collect()] == ["x1"]  # one rep stored
+
+
+# ---------------------------------------------------------------------------
+# streaming assembly (watermark + session window / stateful)
+# ---------------------------------------------------------------------------
+
+def _ts_file(path, rows):
+    """One parquet FILE of turns with real event times."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "conv_id": [r[0] for r in rows],
+            "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+            "role": ["user"] * len(rows),
+            "text": [r[2] for r in rows],
+            "tool": [""] * len(rows),
+            "ts": pd.array(
+                [pd.Timestamp(r[3]) for r in rows], dtype="datetime64[us]"
+            ),
+        }
+    ).to_parquet(path, index=False)
+
+
+def _drive_assembly(spark, tmp_path, make_stream):
+    """Feed out-of-order + cross-batch turns, advance the watermark with
+    later traffic, return {conv_id: doc} from the append sink."""
+    import pandas as pd
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    # conv a: turns out of order IN the file and ACROSS files (turn 2 is late)
+    _ts_file(in_dir / "f1.parquet", [
+        ("a", 1, "middle part", "2024-01-01 10:00:30"),
+        ("a", 0, "first part", "2024-01-01 10:00:00"),
+    ])
+    _ts_file(in_dir / "f2.parquet", [
+        ("a", 2, "late part", "2024-01-01 10:01:00"),
+    ])
+    # later unrelated traffic advances the event-time watermark past
+    # a's last turn + gap so a's session/state closes
+    _ts_file(in_dir / "f3.parquet", [("zz", 0, "later traffic", "2024-01-01 12:00:00")])
+    _ts_file(in_dir / "f4.parquet", [("zz2", 0, "even later", "2024-01-01 13:00:00")])
+
+    from cpdd_spark.streaming import TURNS_SCHEMA
+
+    def run():
+        stream = (
+            spark.readStream.schema(TURNS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        (
+            make_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    # second pass: restores the checkpointed watermark and lets the final
+    # no-data/timeout batch emit anything still pending
+    _ts_file(in_dir / "f5.parquet", [("zz3", 0, "flush", "2024-01-01 14:00:00")])
+    run()
+    out = spark.read.parquet(out_dir)
+    return {r["conv_id"]: (r["n_turns"], r["doc"]) for r in out.collect()}
+
+
+def test_assemble_stream_session_window(spark, tmp_path):
+    """Built-in watermark + session_window assembly: out-of-order and
+    cross-batch turns of one conversation emit ONE document, identical to
+    the batch assembler's semantics."""
+    from cpdd_spark.streaming import assemble_stream
+
+    got = _drive_assembly(
+        spark, tmp_path, lambda s: assemble_stream(s, gap="5 minutes")
+    )
+    assert got.get("a") == (3, "first part\nmiddle part\nlate part"), got
+
+
+def test_assemble_stream_stateful(spark, tmp_path):
+    """applyInPandasWithState assembly (EventTimeTimeout): same contract,
+    one persistent state per conv_id."""
+    from cpdd_spark.streaming import assemble_stream_stateful
+
+    got = _drive_assembly(
+        spark, tmp_path, lambda s: assemble_stream_stateful(s, gap_seconds=300)
+    )
+    assert got.get("a") == (3, "first part\nmiddle part\nlate part"), got
