@@ -100,6 +100,13 @@ class IncrementalDedup:
         return None
 
     def process_batch(self, turns: DataFrame, batch_id: int = 0) -> None:
+        """Micro-batch of TURNS (whole conversations per file): assemble,
+        then dedup. For turn-LEVEL streams where a conversation spans
+        batches, assembly happens upstream with watermarks (see
+        :meth:`start_turn_level`) and :meth:`process_docs` is the entry."""
+        self.process_docs(assemble_documents(turns))
+
+    def process_docs(self, documents: DataFrame, batch_id: int = 0) -> None:
         # dual fingerprints: the cross-batch probe joins on BOTH hash
         # families (+ exact length/turn counts) — the same relaxed-verify
         # guarantee as exact_clusters(verify='fingerprint'): a wrong
@@ -107,7 +114,7 @@ class IncrementalDedup:
         # length (~2^-192), vs the raw-md5 probe this replaces, which
         # silently trusted a single 128-bit family
         docs = (
-            assemble_documents(turns)
+            documents
             .withColumn("md5", F.md5("doc"))
             .withColumn("xxh64", F.xxhash64("doc"))
         )
@@ -310,6 +317,40 @@ class IncrementalDedup:
         return (
             stream.writeStream.foreachBatch(
                 lambda df, bid: self.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def start_turn_level(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        gap_seconds: int = 600,
+        max_files_per_trigger: int = 8,
+    ) -> StreamingQuery:
+        """Turn-LEVEL stream -> watermarked stateful assembly -> incremental
+        dedup: the full late-data path. Individual turns (out of order,
+        split across files/batches) accumulate in per-conversation state
+        (:func:`assemble_stream_stateful`); when the event-time watermark
+        declares a conversation complete, the assembled document flows into
+        the same exact/near dedup probe as the whole-file path
+        (:meth:`process_docs`). One streaming query, end to end.
+
+        Conversations whose states time out in the SAME micro-batch dedup
+        against each other with min-conv_id-wins (the within-batch rule);
+        across batches, first-completed-wins via the index probe — both
+        deterministic."""
+        stream = (
+            self.spark.readStream.schema(TURNS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(input_dir)
+        )
+        assembled = assemble_stream_stateful(stream, gap_seconds=gap_seconds)
+        return (
+            assembled.writeStream.foreachBatch(
+                lambda df, bid: self.process_docs(df, bid)
             )
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)

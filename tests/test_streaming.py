@@ -280,3 +280,49 @@ def test_assemble_stream_stateful(spark, tmp_path):
         spark, tmp_path, lambda s: assemble_stream_stateful(s, gap_seconds=300)
     )
     assert got.get("a") == (3, "first part\nmiddle part\nlate part"), got
+
+
+def test_start_turn_level_end_to_end(spark, tmp_path):
+    """Full late-data path: turn-level stream -> stateful watermarked
+    assembly -> incremental dedup. A conversation whose turns arrive out
+    of order ACROSS files must, once complete, dedup against an earlier
+    byte-identical conversation."""
+    import os
+
+    in_dir = tmp_path / "tin"
+    in_dir.mkdir()
+    clusters = str(tmp_path / "tclusters")
+    ckpt = str(tmp_path / "tckpt")
+
+    # conv "orig" complete at 10:00-10:01; conv "copy" = SAME text, turns
+    # split across two files and delivered out of order, later that day
+    _ts_file(in_dir / "f1.parquet", [
+        ("orig", 0, "hello world", "2024-01-01 10:00:00"),
+        ("orig", 1, "goodbye world", "2024-01-01 10:00:30"),
+        ("copy", 1, "goodbye world", "2024-01-01 11:00:30"),
+    ])
+    _ts_file(in_dir / "f2.parquet", [
+        ("copy", 0, "hello world", "2024-01-01 11:00:00"),
+    ])
+    # watermark advancers
+    _ts_file(in_dir / "f3.parquet", [("w1", 0, "advance", "2024-01-01 13:00:00")])
+    _ts_file(in_dir / "f4.parquet", [("w2", 0, "advance more", "2024-01-01 14:00:00")])
+
+    dedup = IncrementalDedup(spark, clusters)
+    dedup.start_turn_level(
+        str(in_dir), ckpt, gap_seconds=600, max_files_per_trigger=1
+    ).awaitTermination(120)
+    # flush pass: restored watermark lets pending states time out
+    _ts_file(in_dir / "f5.parquet", [("w3", 0, "flush", "2024-01-01 15:00:00")])
+    dedup.start_turn_level(
+        str(in_dir), ckpt, gap_seconds=600, max_files_per_trigger=1
+    ).awaitTermination(120)
+
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(clusters).collect()
+    }
+    assert got.get("orig") == "orig" and got.get("copy") == "orig", got
+    # the split-arrival conversation assembled to the SAME content key
+    n2 = {r["conv_id"]: r["n_turns"] for r in spark.read.parquet(clusters).collect()}
+    assert n2["copy"] == 2
