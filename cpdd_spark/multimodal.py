@@ -23,7 +23,47 @@ MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
     "meta struct<width:int, height:int, mime:string>"
 )
-FEATURE_SCHEMA = "media_id string, n_bytes long, features array<float>"
+FEATURE_SCHEMA = (
+    "media_id string, n_bytes long, features array<float>, "
+    "entropy double, format string"
+)
+
+# magic-byte signatures (hex prefixes) -> container format. These are REAL
+# byte-level detectors (no codec library involved): the part of multimodal
+# ingestion that must run on every blob BEFORE any decode is dispatched —
+# routing, corruption triage, and mislabeled-extension detection at scale.
+MAGIC_PREFIXES = [
+    ("FFD8FF", "jpeg"),
+    ("89504E470D0A1A0A", "png"),
+    ("474946383761", "gif"),
+    ("474946383961", "gif"),
+    ("52494646", "riff"),  # refined to wav/webp/avi by bytes 9-12
+    ("1A45DFA3", "matroska"),  # mkv/webm
+    ("494433", "mp3"),
+    ("FFFB", "mp3"),
+    ("255044462D", "pdf"),
+    ("OGGS".encode().hex().upper(), "ogg"),
+]
+
+
+def format_col(payload) -> "F.Column":
+    """Container-format sniff as a PURE JVM expression (hex prefix match on
+    the first bytes — codegen, no Python): ``unknown`` when no signature
+    matches. RIFF containers are refined by their type tag (bytes 9-12)."""
+    hx = F.hex(F.substring(payload, 1, 16))
+    riff_tag = F.decode(F.substring(payload, 9, 4), "UTF-8")
+    expr = F.lit("unknown")
+    for prefix, fmt in reversed(MAGIC_PREFIXES):
+        hit = (
+            F.when(riff_tag == "WAVE", F.lit("wav"))
+            .when(riff_tag == "WEBP", F.lit("webp"))
+            .when(riff_tag == "AVI ", F.lit("avi"))
+            .otherwise(F.lit("riff"))
+            if fmt == "riff"
+            else F.lit(fmt)
+        )
+        expr = F.when(hx.startswith(prefix), hit).otherwise(expr)
+    return expr
 
 
 def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
@@ -57,13 +97,43 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     return (hist / total).astype(np.float32)
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """``media -> (media_id, n_bytes, features[16])`` via mapInPandas.
+def byte_entropy(payload: bytes) -> float:
+    """Shannon entropy (bits/byte) of the payload — a REAL feature, no
+    codec needed: ~0 for constant filler, ~8 for compressed/encrypted
+    blobs; the standard cheap screen for corrupt/double-compressed media
+    and for text-vs-binary triage in mixed dumps."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if len(arr) == 0:
+        return 0.0
+    counts = np.bincount(arr, minlength=256)
+    p = counts[counts > 0] / len(arr)
+    return float(-(p * np.log2(p)).sum())
 
-    Batch shape contract: one Arrow batch in, one pandas frame out, features
-    as fixed-length float32 lists — exactly the shape a real
-    model-embedding UDF would use (swap decode_image's body, keep the plan).
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """``media -> (media_id, n_bytes, features[16], entropy, format)`` via
+    mapInPandas.
+
+    ``entropy`` and ``format`` (magic-byte sniff) are REAL byte-level
+    computations; ``features`` is the decode-dependent part — honest stub
+    behind ``decode_image`` (``fake=True`` substitutes a deterministic
+    byte histogram). Batch shape contract: one Arrow batch in, one pandas
+    frame out, features as fixed-length float32 lists — exactly the shape
+    a real model-embedding UDF would use (swap decode_image's body, keep
+    the plan).
     """
+    sigs = [(bytes.fromhex(h), f) for h, f in MAGIC_PREFIXES]
+
+    def sniff(b: bytes) -> str:
+        for prefix, fmt in sigs:
+            if b.startswith(prefix):
+                if fmt == "riff":
+                    tag = b[8:12]
+                    return {b"WAVE": "wav", b"WEBP": "webp", b"AVI ": "avi"}.get(
+                        tag, "riff"
+                    )
+                return fmt
+        return "unknown"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -73,6 +143,8 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
                     "media_id": pdf["media_id"].to_numpy(),
                     "n_bytes": pdf["payload"].str.len().astype("int64"),
                     "features": feats,
+                    "entropy": [byte_entropy(p) for p in pdf["payload"]],
+                    "format": [sniff(p) for p in pdf["payload"]],
                 }
             )
 
