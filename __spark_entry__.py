@@ -30,6 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cpdd_spark.asof import asof_join
 from cpdd_spark.assemble import assemble_documents
 from cpdd_spark.cc import connected_components
 from cpdd_spark.config import DedupConfig
@@ -448,6 +449,48 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ep_us(col: str = "ts"):
+    """Epoch microseconds from date parts (TZ-safe: never cast
+    TIMESTAMP_NTZ to a number — see q_user_sessions)."""
+    return (
+        (
+            F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("long") * 86400
+            + F.hour(col) * 3600
+            + F.minute(col) * 60
+        ).cast("decimal(20,6)")
+        + F.date_part(F.lit("SECOND"), F.col(col))
+    ) * F.lit(1_000_000)
+
+
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the event stream: each click gains the latest prior
+    (inclusive) purchase value of the same user — checked against DuckDB's
+    NATIVE ``ASOF LEFT JOIN``. The right side pre-aggregates per
+    (user, ts) so tie resolution is engine-independent. See
+    cpdd_spark.asof for why the union+forward-fill plan (one shuffle,
+    JVM-only) is the scale shape rather than a range join."""
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        _ep_us().cast("long").alias("ep_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value", "ep_us"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ep_us")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    j = asof_join(clicks, purchases, on="ep_us", by="user_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("click_value"),
+        F.col("right_pvalue").alias("last_purchase_value"),
+        (F.col("ep_us") - F.col("right_ep_us")).alias("gap_us"),
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 SimHash very-near-dup screen (hash-dependent: rows-only check)."""
     docs = _assembled(spark, sf_dir)
@@ -810,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
+        "events_asof": q_events_asof,
         "user_sessions": q_user_sessions,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
@@ -975,6 +1019,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
                COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
         FROM events GROUP BY 1, 2
+        """,
+        "events_asof": """
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ep_us
+          FROM events
+        ),
+        l AS (SELECT event_id, user_id, value, ep_us FROM e WHERE event_type = 'click'),
+        r AS (
+          SELECT user_id, ep_us, MAX(value) AS pvalue
+          FROM e WHERE event_type = 'purchase' GROUP BY user_id, ep_us
+        )
+        SELECT l.event_id, l.user_id, l.value AS click_value,
+               r.pvalue AS last_purchase_value,
+               l.ep_us - r.ep_us AS gap_us
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ep_us >= r.ep_us
         """,
         "user_sessions": """
         WITH e AS (

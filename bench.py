@@ -67,6 +67,7 @@ EXTRA = [
     "bpe_token_count",   # BPE-regex token counting
     "ann_lsh_topk",      # hyperplane-LSH ANN (matmul sketch path)
     "ann_ivf_topk",      # IVF-Flat ANN (k-means coarse quantizer)
+    "events_asof",       # as-of join (union + ordered forward-fill)
 ]
 
 
