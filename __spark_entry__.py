@@ -39,6 +39,7 @@ from cpdd_spark.lsh import candidate_pairs, simhash_candidates
 from cpdd_spark.multimodal import attach_payload, extract_features
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
+from cpdd_spark.rangejoin import interval_join
 from cpdd_spark.session import ship_package
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.similarity import (
@@ -491,6 +492,35 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range-containment) join: assign each error event to the
+    session window containing it and count errors per session — the
+    backfill-attribution pattern (late raw rows -> established windows).
+    Runs through cpdd_spark.rangejoin.interval_join (bucketized equi-join;
+    the naive non-equi formulation would plan as BroadcastNestedLoopJoin,
+    which the plan guards ban). Oracle: plain BETWEEN join in SQL."""
+    sessions = q_user_sessions(spark, sf_dir).select(
+        "user_id", "session_idx", "start_us", "end_us"
+    )
+    errors = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", _ep_us().cast("long").alias("ep_us"))
+    )
+    j = interval_join(
+        errors,
+        sessions,
+        on="ep_us",
+        start="start_us",
+        end="end_us",
+        by="user_id",
+        bucket_width=1800 * 1_000_000,  # the session gap: typical span
+    )
+    return j.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_errors")
+    )
+
+
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 SimHash very-near-dup screen (hash-dependent: rows-only check)."""
     docs = _assembled(spark, sf_dir)
@@ -854,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_dup_pairs": q_embed_dup_pairs,
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
+        "session_errors": q_session_errors,
         "user_sessions": q_user_sessions,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
@@ -1035,6 +1066,39 @@ def oracle_sql() -> dict[str, str]:
                l.ep_us - r.ep_us AS gap_us
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ep_us >= r.ep_us
+        """,
+        "session_errors": """
+        WITH e AS (
+          SELECT user_id, event_id, epoch_us(ts) AS ep_us FROM events
+        ),
+        m AS (
+          SELECT user_id, event_id, ep_us,
+                 CASE WHEN ep_us - LAG(ep_us) OVER w IS NULL
+                        OR ep_us - LAG(ep_us) OVER w > 1800 * 1000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep_us, event_id)
+        ),
+        s AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ep_us, event_id
+            ROWS UNBOUNDED PRECEDING
+          ) AS session_idx FROM m
+        ),
+        sess AS (
+          SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+                 MIN(ep_us) AS start_us, MAX(ep_us) AS end_us
+          FROM s GROUP BY user_id, session_idx
+        ),
+        err AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ep_us
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT sess.user_id, sess.session_idx,
+               CAST(COUNT(*) AS BIGINT) AS n_errors
+        FROM err JOIN sess
+          ON err.user_id = sess.user_id
+         AND err.ep_us BETWEEN sess.start_us AND sess.end_us
+        GROUP BY sess.user_id, sess.session_idx
         """,
         "user_sessions": """
         WITH e AS (

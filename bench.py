@@ -68,6 +68,7 @@ EXTRA = [
     "ann_lsh_topk",      # hyperplane-LSH ANN (matmul sketch path)
     "ann_ivf_topk",      # IVF-Flat ANN (k-means coarse quantizer)
     "events_asof",       # as-of join (union + ordered forward-fill)
+    "session_errors",    # interval join (bucketized containment)
 ]
 
 

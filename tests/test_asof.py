@@ -100,3 +100,73 @@ def test_asof_no_by_key(spark):
         ).collect()
     }
     assert got == {0: 30.0, 1: 100.0, 2: None}
+
+
+# ---------------------------------------------------------------------------
+# interval (range-containment) join
+# ---------------------------------------------------------------------------
+
+def test_interval_join_containment_and_boundaries(spark):
+    from cpdd_spark.rangejoin import interval_join
+
+    points = spark.createDataFrame(
+        [(0, "u", 5), (1, "u", 10), (2, "u", 20), (3, "u", 31), (4, "v", 10)],
+        "pid int, k string, t long",
+    )
+    intervals = spark.createDataFrame(
+        # [5,10] inclusive both ends; [8,30] overlaps it; v has its own
+        [("u", "a", 5, 10), ("u", "b", 8, 30), ("v", "c", 0, 15)],
+        "k string, iv string, s long, e long",
+    )
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in interval_join(
+            points, intervals, on="t", start="s", end="e", by="k", bucket_width=7
+        ).collect()
+    )
+    # pid0: in a only (5 is a's start boundary, before b). pid1: in BOTH
+    # (10 = a's end boundary, inside b). pid2: b. pid3: nothing (31 > 30).
+    # pid4: c (different key; u's intervals must not leak).
+    assert got == [(0, "a"), (1, "a"), (1, "b"), (2, "b"), (4, "c")], got
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    """The bucket width is a PERFORMANCE knob: results are identical at
+    any width (intervals spanning many buckets dedupe nothing wrongly)."""
+    import numpy as np
+
+    from cpdd_spark.rangejoin import interval_join
+
+    rng = np.random.default_rng(23)
+    pts = [(int(i), int(k), int(t)) for i, (k, t) in enumerate(
+        zip(rng.integers(0, 5, 200), rng.integers(0, 1000, 200)))]
+    ivs = []
+    for j in range(40):
+        s = int(rng.integers(0, 900))
+        ivs.append((int(rng.integers(0, 5)), j, s, s + int(rng.integers(0, 300))))
+    points = spark.createDataFrame(pts, "pid int, k int, t long")
+    intervals = spark.createDataFrame(ivs, "k int, iv int, s long, e long")
+
+    def run(bw):
+        return sorted(
+            (r["pid"], r["iv"])
+            for r in interval_join(
+                points, intervals, on="t", start="s", end="e", by="k",
+                bucket_width=bw,
+            ).collect()
+        )
+
+    assert run(1) == run(64) == run(100000)
+
+
+def test_interval_join_no_nested_loop_plan(spark):
+    """The whole point: the plan must be an equi-join on (by, bucket),
+    never a BroadcastNestedLoopJoin."""
+    from cpdd_spark.rangejoin import interval_join
+
+    points = spark.createDataFrame([(0, "u", 5)], "pid int, k string, t long")
+    intervals = spark.createDataFrame([("u", "a", 0, 9)], "k string, iv string, s long, e long")
+    plan = interval_join(
+        points, intervals, on="t", start="s", end="e", by="k", bucket_width=10
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
