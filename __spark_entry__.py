@@ -492,6 +492,21 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition, verified bit-identical here. (The at-scale
+    variant is ``percentile_approx``/KLL with a pinned accuracy — kept out
+    of the oracle set because sketch internals differ across engines.)"""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.9)).alias("p90"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+
+
 def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval (range-containment) join: assign each error event to the
     session window containing it and count errors per session — the
@@ -885,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_asof": q_events_asof,
         "session_errors": q_session_errors,
+        "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
@@ -1066,6 +1082,13 @@ def oracle_sql() -> dict[str, str]:
                l.ep_us - r.ep_us AS gap_us
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ep_us >= r.ep_us
+        """,
+        "event_quantiles": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
         """,
         "session_errors": """
         WITH e AS (

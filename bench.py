@@ -13,15 +13,17 @@ scale pipeline runs); the deterministic oracle-mode twin ``minhash_pairs``
 work by design) stays under EXTRA so its cost is still visible but no
 longer distorts the round-over-round headline.
 
-Each query is timed SPARK_GRAFT_RUNS times (default 2) and the MINIMUM is
-reported: this VM's wall clock varies 20-30% under background load, and
-run 1 additionally pays JIT/codegen warmup. `value` is the sum of
-per-query minima.
+Each query is timed SPARK_GRAFT_RUNS times (default 3) and the MINIMUM is
+reported: this VM's wall clock varies 20-30% (occasionally 2x) under
+background load, and run 1 additionally pays JIT/codegen warmup —
+measured same-code spread across bench invocations was 18.6s vs 30.8s
+min-of-2; min-of-3 restores the floor. `value` is the sum of per-query
+minima.
 
 Env:
     SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
     SPARK_GRAFT_CPUS    local[] parallelism (default 32)
-    SPARK_GRAFT_RUNS    timed runs per query, min taken (default 2)
+    SPARK_GRAFT_RUNS    timed runs per query, min taken (default 3)
 
 Two-scale protocol (BASELINE.md / BENCH/BASELINE.md): scripts/two_scale.py
 runs the full pipeline at two executor scales; this file is the per-round
@@ -90,7 +92,7 @@ def timed_min(fn, runs: int) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
     spark = get_spark(
