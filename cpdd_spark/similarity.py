@@ -337,6 +337,19 @@ def ivf_centroids(
         .limit(max_sample)
         .toPandas()
     )
+    if len(sample) == 0:
+        # tiny corpus that the hash-sample missed entirely: fall back to
+        # the full corpus (still bounded by max_sample), then to seeded
+        # random planes for a truly empty input
+        sample = (
+            corpus.select(id_col, vec_col).orderBy(id_col).limit(max_sample).toPandas()
+        )
+    if len(sample) == 0:
+        rng = np.random.default_rng(seed)
+        planes = rng.normal(size=(n_centroids, dim))
+        return planes / np.maximum(
+            np.linalg.norm(planes, axis=1, keepdims=True), 1e-12
+        )
     x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
     return _kmeans_spherical(x, n_centroids, iters, seed)
 
