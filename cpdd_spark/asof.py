@@ -56,6 +56,13 @@ def asof_join(
     timestamp. Ties inside ``right`` on ``(by, on)`` resolve to the row
     LAST in the window order — pre-aggregate the right side when tie
     determinism matters (the oracle query does).
+
+    The right payload forward-fills as ONE struct (non-null exactly on
+    right rows), not per column: a per-column ``last(ignorenulls)`` would
+    splice a legitimately-NULL payload column from an OLDER right row —
+    mixing values across right rows and violating the single-matched-row
+    contract (DuckDB ASOF / pandas merge_asof attach the matched row
+    including its NULLs). One fill, then unpack the struct's fields.
     """
     payload_cols = [c for c in right.columns if c not in {on, by}]
     keys = ([by] if by else []) + [on]
@@ -63,18 +70,14 @@ def asof_join(
     r = right.select(
         *keys,
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload_cols],
-        F.col(on).alias(f"{right_prefix}{on}"),
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols], F.col(on).alias(on)
+        ).alias("_asof"),
     )
     l = left.select(
         "*",
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(r.schema[f"{right_prefix}{c}"].dataType).alias(
-            f"{right_prefix}{c}"
-        ) for c in payload_cols],
-        F.lit(None).cast(r.schema[f"{right_prefix}{on}"].dataType).alias(
-            f"{right_prefix}{on}"
-        ),
+        F.lit(None).cast(r.schema["_asof"].dataType).alias("_asof"),
     )
     unioned = l.unionByName(r, allowMissingColumns=True)
 
@@ -83,16 +86,19 @@ def asof_join(
         .orderBy(F.col(on), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled_cols = [f"{right_prefix}{c}" for c in payload_cols] + [
-        f"{right_prefix}{on}"
-    ]
-    out = unioned
-    for c in filled_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = out.filter(F.col("_side") == 1).drop("_side")
+    out = (
+        unioned.withColumn("_asof", F.last("_asof", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )
 
     if tolerance is not None:
-        stale = F.col(f"{right_prefix}{on}") < (F.col(on) - F.lit(tolerance))
-        for c in filled_cols:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out
+        stale = F.col("_asof")[on] < (F.col(on) - F.lit(tolerance))
+        out = out.withColumn(
+            "_asof", F.when(stale, F.lit(None)).otherwise(F.col("_asof"))
+        )
+    return out.select(
+        "*",
+        *[F.col("_asof")[c].alias(f"{right_prefix}{c}") for c in payload_cols],
+        F.col("_asof")[on].alias(f"{right_prefix}{on}"),
+    ).drop("_asof")

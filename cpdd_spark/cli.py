@@ -72,6 +72,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--stats", action="store_true", help="print dedup statistics")
     p.add_argument("--tau", type=float, default=None, help="Jaccard threshold")
+    p.add_argument(
+        "--exact-verify", choices=["bytes", "fingerprint"], default="bytes",
+        help="exact-tier verification: 'bytes' groups on the full document "
+        "(cpdd's byte-verify, bit-for-bit) — 'fingerprint' groups on "
+        "md5+xxhash64+length (~50 B/doc shuffled instead of the corpus "
+        "text; identical clusters, the at-scale mode)",
+    )
     p.add_argument("--master", default="local[*]", help="Spark master URL")
     p.add_argument("-v", "--verbose", action="count", default=0)
     return p
@@ -83,7 +90,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from cpdd_spark.pipeline import DedupPipeline
     from cpdd_spark.session import get_spark
 
-    cfg = DedupConfig() if args.tau is None else DedupConfig(tau=args.tau)
+    cfg_kwargs = {"exact_verify": args.exact_verify}
+    if args.tau is not None:
+        cfg_kwargs["tau"] = args.tau
+    cfg = DedupConfig(**cfg_kwargs)
     owns_session = spark is None
     if owns_session:
         spark = get_spark(master=args.master, app_name="cpdd_spark_cli")
@@ -105,7 +115,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dedup.start(
                 args.input[0], os.path.join(args.workdir, "checkpoint")
             ).awaitTermination()
-            n = spark.read.parquet(clusters_dir).count()
+            # an empty watch dir runs zero micro-batches and never creates
+            # clusters_dir: report 0 rows instead of a read traceback
+            if os.path.isdir(clusters_dir):
+                n = spark.read.parquet(clusters_dir).count()
+            else:
+                n = 0
             print(f"streaming clusters index: {n} rows -> {clusters_dir}")
             return 0
         turns = spark.read.parquet(*args.input)

@@ -44,6 +44,12 @@ class DedupConfig:
     # --- skew handling ---
     max_band_bucket: int = 200  # cap: LSH buckets larger than this are salted/sampled
     salt_buckets: int = 16      # L salt shards for hot bands
+    # --- exact tier verify mode (R7/R8 trade, see exact.exact_clusters) ---
+    exact_verify: str = "bytes"  # 'bytes': cpdd-parity string-identity
+                                 # grouping (shuffles doc text); 'fingerprint':
+                                 # md5+xxhash64+length key, ~50 B/doc shuffle —
+                                 # the 10^12-turn mode (identical clusters,
+                                 # tested; false merge ~2^-192)
     # --- output layout (R15: dest-tree mirroring -> partition spec) ---
     output_buckets: int = 16    # hash-bucket partitions of the clusters
                                 # table (Iceberg bucket(conv_id) analogue);

@@ -143,7 +143,15 @@ class DedupPipeline:
         cfg = self.cfg
 
         docs = self._stage("documents", lambda: assemble_documents(turns), resume)
-        exact = self._stage("exact_clusters", lambda: exact_clusters(docs), resume)
+        # cfg.exact_verify='fingerprint' is the production scale mode: the
+        # exact tier groups on (n_turns, doc_len, md5, xxh64) and never
+        # shuffles document text (~50 B/doc instead of the corpus) — same
+        # clusters, proven equivalent in tests/test_exact.py
+        exact = self._stage(
+            "exact_clusters",
+            lambda: exact_clusters(docs, verify=cfg.exact_verify),
+            resume,
+        )
 
         # fuzzy tiers run over exact-cluster representatives only: identical
         # docs collapse before any signature work (tier layering == skew
@@ -160,11 +168,16 @@ class DedupPipeline:
         # no text joins, no Python workers; verify_pairs_sets docstring).
         # Band generation reads only (conv_id, n_shingles, minhash): the
         # set column is pruned at that scan.
-        sigs = self._stage(
-            "signatures",
-            lambda: compute_signatures(reps, cfg, with_sets=True),
-            resume,
-        )
+        sig_compute = lambda: compute_signatures(reps, cfg, with_sets=True)  # noqa: E731
+        sigs = self._stage("signatures", sig_compute, resume)
+        if "shingles" not in sigs.columns:
+            # a committed signatures table from a pre-with_sets run lacks
+            # the set column the verify stage reads: recompute instead of
+            # failing with an unresolved-column error (downstream stages go
+            # dirty with it, as for any recompute)
+            self.stage_log.pop()
+            self._dirty = True
+            sigs = self._stage("signatures", sig_compute, resume=False)
         verified = self._stage(
             "verified_pairs",
             lambda: verify_pairs_sets(

@@ -272,6 +272,54 @@ def shingle_sets(docs: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def minhash_from_sets(sets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """``(conv_id, shingles)`` -> ``(conv_id, n_shingles, minhash)``:
+    recompute the MinHash signature from a STORED distinct shingle-hash set
+    instead of document text.
+
+    Exactness: each permutation's minimum over the distinct set equals the
+    minimum over the raw multiset (duplicates never change a min), and the
+    kernel applies the identical 64->32-bit reduction + xor/fmix32 bijection
+    as :func:`compute_signatures` — bit-identical ``minhash`` (tested).
+    ``n_shingles`` here is the DISTINCT count; its only downstream use is
+    the ``> 0`` screen in band generation, and distinct-count > 0 iff raw
+    count > 0.
+
+    This is what makes the streaming near-index's band table fully
+    DERIVED state: ``IncrementalDedup.compact_index`` rebuilds bands from
+    the stored sets alone — the rebuild-per-run discipline of the
+    reference index (/root/reference/src/cpdd/matching.c:255-318) without
+    re-reading any document."""
+    consts = _perm_params(cfg)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = np.fromiter(
+                (len(s) for s in pdf["shingles"]), dtype=np.int64, count=len(pdf)
+            )
+            offsets = np.zeros(len(pdf) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offsets[1:])
+            h = (
+                np.concatenate(
+                    [np.asarray(s, dtype=np.int64) for s in pdf["shingles"]]
+                ).view(np.uint64)
+                if counts.sum()
+                else np.empty(0, dtype=np.uint64)
+            )
+            sig = _minhash(h, offsets, consts)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "n_shingles": counts,
+                    "minhash": list(sig),
+                }
+            )
+
+    return sets.select("conv_id", "shingles").mapInPandas(
+        kernel, schema="conv_id string, n_shingles long, minhash array<long>"
+    )
+
+
 def exact_jaccard_sets(doc_a: str, doc_b: str, w: int) -> float:
     """Brute-force w-shingle Jaccard on actual token tuples — the oracle
     definition the MinHash estimates (used by the verify tier and tests).

@@ -32,8 +32,12 @@ from cpdd_spark.assemble import assemble_documents
 from cpdd_spark.cc import connected_components
 from cpdd_spark.config import DedupConfig
 from cpdd_spark.lsh import band_buckets, pairs_from_buckets
-from cpdd_spark.signatures import compute_signatures
-from cpdd_spark.verify import verify_pairs
+from cpdd_spark.signatures import (
+    compute_signatures,
+    minhash_from_sets,
+    shingle_sets,
+)
+from cpdd_spark.verify import verify_pairs_sets
 
 TURNS_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
@@ -56,8 +60,17 @@ class IncrementalDedup:
     the matched representative's cluster — so an arriving near-duplicate
     (not byte-identical) joins the existing cluster instead of founding a
     new one. The index is append-only: ``{near_index_dir}/docs`` holds
-    ``(conv_id, doc, cluster_id)`` per stored representative,
+    ``(conv_id, shingles, cluster_id)`` per stored representative — the
+    doc's DISTINCT shingle-hash set (~8 B/shingle), never its text —
     ``{near_index_dir}/bands`` its ``(conv_id, band_id, band_hash)`` rows.
+    Verification is therefore pure JVM (``verify_pairs_sets``:
+    ``array_intersect`` over the stored arrays): no document text in the
+    index, and no Python worker in the per-batch probe — the same shape the
+    batch pipeline's verify stage uses (the stored set IS the digest cache,
+    the analogue of cpdd never re-reading a reference file per probe,
+    matching.c:320-375). A legacy round-3 index that stored raw ``doc``
+    text is migrated transparently at read time (sets recomputed from the
+    stored text) and persistently by :meth:`compact_index`.
     Scale shape: the probe is an equi-join on ``(band_id, band_hash)`` —
     at 10^12 turns the two directories become Iceberg tables bucketed on
     ``band_hash`` / ``conv_id`` and the join stays bucket-local; per-batch
@@ -185,11 +198,49 @@ class IncrementalDedup:
             pass
         return None
 
+    def _read_index_docs(self) -> DataFrame | None:
+        """The stored-representative table ``(conv_id, shingles,
+        cluster_id)``. A legacy round-3 index stored ``(conv_id, doc,
+        cluster_id)`` raw text — migrate at read time by recomputing the
+        shingle sets from the stored text (same one-time-migration
+        discipline as the md5->dual-hash clusters upgrade above);
+        :meth:`compact_index` makes the migration persistent. A directory
+        that received new-format appends on top of legacy files is MIXED —
+        mergeSchema surfaces both columns and each row converts by which
+        one it carries."""
+        path = os.path.join(self.near_index_dir, "docs")
+        try:
+            if not any(f.endswith(".parquet") for f in os.listdir(path)):
+                return None
+        except FileNotFoundError:
+            return None
+        idx = self.spark.read.option("mergeSchema", "true").parquet(path)
+        if "doc" not in idx.columns:
+            return idx
+        legacy = idx.filter(F.col("doc").isNotNull())
+        migrated = shingle_sets(legacy.select("conv_id", "doc"), self.cfg).join(
+            legacy.select("conv_id", "cluster_id"), "conv_id"
+        )
+        if "shingles" not in idx.columns:  # pure-legacy directory
+            return migrated
+        return (
+            idx.filter(F.col("shingles").isNotNull())
+            .select("conv_id", "shingles", "cluster_id")
+            .unionByName(migrated)
+        )
+
     def _near_resolve(self, out: DataFrame, docs_text: DataFrame) -> DataFrame:
         """Near-dup tier over the exact tier's output: link this batch's
         FRESH canonicals (cluster_id == conv_id, i.e. content the exact
         probe didn't recognize) to stored near-duplicate representatives,
-        then append the batch's representatives to the index."""
+        then append the batch's representatives to the index.
+
+        Python (the fused Arrow signature kernel) runs exactly ONCE per
+        batch, over the fresh canonicals; its output — signatures AND
+        distinct shingle sets — is materialized, so every downstream plan
+        (band probe, ``verify_pairs_sets``, CC, index append) is pure JVM
+        over stored arrays. No document text enters the index or the
+        probe joins."""
         cfg = self.cfg
         # barrier: `out` feeds the fresh-canonical filter, the remap join,
         # and the final write — materialize once (micro-batch sized)
@@ -198,17 +249,23 @@ class IncrementalDedup:
             out.filter(F.col("cluster_id") == F.col("conv_id"))
             .select("conv_id")
             .join(docs_text, "conv_id")
-        ).localCheckpoint(eager=True)
-
-        bands = band_buckets(compute_signatures(fresh, cfg), cfg).localCheckpoint(
+        )
+        # the single Arrow pass of the batch: minhash + simhash + sets
+        sigs = compute_signatures(fresh, cfg, with_sets=True).localCheckpoint(
             eager=True
         )
+        fresh_sets = sigs.select("conv_id", "shingles")
+        bands = band_buckets(sigs, cfg).localCheckpoint(eager=True)
 
         # --- cross-batch probe: batch bands vs stored representative bands
-        idx_docs = self._read_index("docs")
+        idx_docs = self._read_index_docs()
+        # a crash between the two index appends can leave bands without
+        # docs (or, in a legacy pre-fix index, docs without bands): probe
+        # only when BOTH halves exist; the replay re-appends the missing
+        # half (see the write-order note below)
+        idx_bands = self._read_index("bands") if idx_docs is not None else None
         links = None
-        if idx_docs is not None:
-            idx_bands = self._read_index("bands")
+        if idx_docs is not None and idx_bands is not None:
             cand = (
                 bands.select("conv_id", "band_id", "band_hash")
                 .join(
@@ -220,8 +277,10 @@ class IncrementalDedup:
                 .select(F.col("conv_id").alias("a"), "b")
                 .distinct()
             )
-            union_docs = fresh.unionByName(idx_docs.select("conv_id", "doc"))
-            verified = verify_pairs(cand, union_docs, cfg)
+            union_sets = fresh_sets.unionByName(
+                idx_docs.select("conv_id", "shingles")
+            )
+            verified = verify_pairs_sets(cand, union_sets, cfg)
             # min stored cluster across all verified matches: deterministic
             # under replay and under multi-match
             links = (
@@ -242,9 +301,11 @@ class IncrementalDedup:
             ["band_id", "band_hash"],
             cfg,
         )
-        batch_edges = verify_pairs(batch_pairs, fresh, cfg).select("a", "b")
+        batch_edges = verify_pairs_sets(batch_pairs, fresh_sets, cfg).select(
+            "a", "b"
+        )
         comp = connected_components(
-            batch_edges, vertices=fresh.select("conv_id")
+            batch_edges, vertices=fresh_sets.select("conv_id")
         ).withColumnRenamed("cluster_id", "comp_label")
 
         # --- anchor each component on the minimum stored cluster any member
@@ -272,21 +333,27 @@ class IncrementalDedup:
         # Anti-join on already-stored ids: a replay after a crash between
         # the index append and the clusters append must not duplicate rows
         # (duplicates would still resolve identically via min(), but the
-        # index should not bloat under retries).
-        rep_docs = fresh.join(final, "conv_id").select(
-            "conv_id", "doc", F.col("final_cluster").alias("cluster_id")
+        # index should not bloat under retries). Write order matters:
+        # bands FIRST — a crash between the appends then leaves band rows
+        # whose doc rows are missing, and the replay (keyed on stored DOC
+        # conv_ids) re-appends both halves: at worst duplicate band rows,
+        # which the probe's .distinct() absorbs and compact_index removes.
+        # The docs-first order would instead leave reps permanently
+        # band-less (the replay would skip them) — a silent recall hole.
+        rep_docs = fresh_sets.join(final, "conv_id").select(
+            "conv_id", "shingles", F.col("final_cluster").alias("cluster_id")
         )
         if idx_docs is not None:
             rep_docs = rep_docs.join(
                 idx_docs.select("conv_id"), "conv_id", "left_anti"
             )
         rep_docs = rep_docs.localCheckpoint(eager=True)
-        rep_docs.select("conv_id", "doc", "cluster_id").write.mode(
-            "append"
-        ).parquet(os.path.join(self.near_index_dir, "docs"))
         bands.join(rep_docs.select("conv_id"), "conv_id", "left_semi").write.mode(
             "append"
         ).parquet(os.path.join(self.near_index_dir, "bands"))
+        rep_docs.select("conv_id", "shingles", "cluster_id").write.mode(
+            "append"
+        ).parquet(os.path.join(self.near_index_dir, "docs"))
 
         # --- remap the exact tier's assignments through the near links
         mapping = final.select(
@@ -303,6 +370,70 @@ class IncrementalDedup:
                 F.coalesce("final_cluster", "cluster_id").alias("cluster_id"),
             )
         )
+
+    def compact_index(self) -> dict[str, int] | None:
+        """Near-index lifecycle: rewrite ``docs``/``bands`` keeping only
+        the rows a probe can ever distinguish — run BETWEEN streaming runs
+        (offline; no query may be appending concurrently).
+
+        The append-only index accumulates (a) duplicate rows from crash
+        replays, (b) duplicate/orphan band rows from a crash between the
+        two appends, and (c) representatives whose ``(shingles,
+        cluster_id)`` exactly duplicates another rep's — identical set
+        implies identical minhash implies identical band collisions AND
+        identical verify jaccard, so any probe matching the dropped rep
+        matches the kept one with the same outcome. Compaction:
+
+        1. ``docs``: one row per conv_id, then min conv_id per distinct
+           ``(shingles, cluster_id)``;
+        2. ``bands``: REBUILT from the compacted sets via
+           :func:`cpdd_spark.signatures.minhash_from_sets` (bit-identical
+           to the originally stored rows; also heals any band loss) — the
+           reference's rebuild-per-run discipline (matching.c:255-318);
+        3. a legacy raw-text index is persistently migrated to the
+           ``shingles`` schema as a side effect.
+
+        Both tables write to temp dirs first, then swap — a crash leaves
+        either the old or the new index, never a torn one. Returns
+        ``{"docs_before", "docs_after", "bands_before", "bands_after"}``
+        row counts (None when no index exists)."""
+        import shutil
+
+        idx_docs = self._read_index_docs()
+        if idx_docs is None:
+            return None
+        idx_bands = self._read_index("bands")
+        docs_before = idx_docs.count()
+        bands_before = idx_bands.count() if idx_bands is not None else 0
+
+        one_per_conv = idx_docs.groupBy("conv_id").agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.first("shingles").alias("shingles"),
+        )
+        docs = (
+            one_per_conv.groupBy("shingles", "cluster_id")
+            .agg(F.min("conv_id").alias("conv_id"))
+            .select("conv_id", "shingles", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        bands = band_buckets(minhash_from_sets(docs, self.cfg), self.cfg)
+
+        docs_dir = os.path.join(self.near_index_dir, "docs")
+        bands_dir = os.path.join(self.near_index_dir, "bands")
+        docs_tmp, bands_tmp = docs_dir + "__compact", bands_dir + "__compact"
+        docs.write.mode("overwrite").parquet(docs_tmp)
+        bands.write.mode("overwrite").parquet(bands_tmp)
+        n_docs = self.spark.read.parquet(docs_tmp).count()
+        n_bands = self.spark.read.parquet(bands_tmp).count()
+        for tmp, dst in ((docs_tmp, docs_dir), (bands_tmp, bands_dir)):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(tmp, dst)
+        return {
+            "docs_before": docs_before,
+            "docs_after": n_docs,
+            "bands_before": bands_before,
+            "bands_after": n_bands,
+        }
 
     def start(self, input_dir: str, checkpoint_dir: str) -> StreamingQuery:
         """File-source stream -> foreachBatch incremental dedup. The
@@ -427,7 +558,7 @@ def assemble_stream_stateful(
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            idxs, texts = state.get
+            idxs, texts, _ = state.get
             order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
             doc = "\n".join(texts[i] for i in order)
             state.remove()
@@ -440,15 +571,19 @@ def assemble_stream_stateful(
                 }
             )
             return
-        idxs, texts = state.get if state.exists else ([], [])
-        max_ts = 0
+        idxs, texts, max_ts = state.get if state.exists else ([], [], 0)
+        # max over STORED and batch event-times: a micro-batch carrying only
+        # LATE turns for an existing conversation must not rewind the
+        # timeout below last-seen-turn + gap (that would close the
+        # conversation early and split it across duplicate conv_id rows)
+        max_ts = int(max_ts or 0)
         for pdf in pdfs:
             idxs = list(idxs) + [int(x) for x in pdf["turn_idx"]]
             texts = list(texts) + [str(x) for x in pdf["text"]]
             batch_max = pd.to_datetime(pdf["ts"]).max()
             if pd.notna(batch_max):
                 max_ts = max(max_ts, int(batch_max.value // 1_000_000))
-        state.update((idxs, texts))
+        state.update((idxs, texts, max_ts))
         # event-time timeout: fires when the WATERMARK (not wall clock)
         # passes last-turn-ts + gap — deterministic under replay
         state.setTimeoutTimestamp(max_ts + gap_ms)
@@ -460,7 +595,7 @@ def assemble_stream_stateful(
         .applyInPandasWithState(
             fn,
             outputStructType=ASSEMBLED_SCHEMA,
-            stateStructType="idxs array<int>, texts array<string>",
+            stateStructType="idxs array<int>, texts array<string>, max_ts long",
             outputMode="append",
             timeoutConf="EventTimeTimeout",
         )

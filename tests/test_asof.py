@@ -210,3 +210,24 @@ def test_ivf_tiny_and_empty_corpus(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     c2 = ivf_centroids(empty, dim=64, n_centroids=4)
     assert c2.shape == (4, 64)
+
+
+def test_asof_null_payload_not_spliced(spark):
+    """A legitimately-NULL payload column in the matched right row must
+    come through as NULL — not forward-filled from an OLDER right row
+    (the matched row attaches whole, as DuckDB ASOF / merge_asof do)."""
+    from cpdd_spark.asof import asof_join
+
+    left = spark.createDataFrame([("k", 10), ("k", 20)], "key string, t long")
+    right = spark.createDataFrame(
+        [("k", 5, 1.0, "v5"), ("k", 15, None, "v15")],
+        "key string, t long, price double, tag string",
+    )
+    out = asof_join(left, right, on="t", by="key")
+    rows = {
+        r["t"]: (r["right_price"], r["right_tag"], r["right_t"])
+        for r in out.collect()
+    }
+    assert rows[10] == (1.0, "v5", 5)
+    # t=20 matches the t=15 row whose price IS NULL: must stay NULL
+    assert rows[20] == (None, "v15", 15)

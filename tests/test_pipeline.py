@@ -132,3 +132,45 @@ def test_pipeline_partitioned_output_layout(spark, turns_df, workdir):
     pipe2 = DedupPipeline(spark, workdir, CFG)
     pipe2.run(turns_df)
     assert all(how == "resumed" for _, how in pipe2.stage_log), pipe2.stage_log
+
+
+def test_resume_with_legacy_signatures_schema(spark, turns_df, workdir):
+    """A committed signatures table from a pre-with_sets run (no shingles
+    column) must trigger a recompute on resume, not an unresolved-column
+    failure in the verify stage."""
+    import os
+    import shutil
+
+    p1 = DedupPipeline(spark, workdir, CFG)
+    c1 = {(r["conv_id"], r["cluster_id"]) for r in p1.run(turns_df).collect()}
+
+    # rewrite the committed signatures table WITHOUT the set column
+    legacy = p1.io.read("signatures").drop("shingles").localCheckpoint(eager=True)
+    path = p1.io.path("signatures")
+    shutil.rmtree(path)
+    legacy.write.parquet(path)
+    assert os.path.isfile(os.path.join(path, "_SUCCESS"))
+
+    p2 = DedupPipeline(spark, workdir, CFG)
+    c2 = {(r["conv_id"], r["cluster_id"]) for r in p2.run(turns_df).collect()}
+    log = dict(p2.stage_log)
+    assert log["signatures"] == "computed"  # recomputed, not resumed
+    assert log["verified_pairs"] == "computed"  # stale cascade
+    assert c1 == c2
+
+
+def test_pipeline_fingerprint_exact_verify(spark, turns_df, workdir):
+    """cfg.exact_verify='fingerprint' (the at-scale exact tier) through the
+    PRODUCT entry produces identical final clusters to byte-verify."""
+    from dataclasses import replace
+
+    byte_dir, fp_dir = workdir + "_bytes", workdir + "_fp"
+    cb = DedupPipeline(spark, byte_dir, CFG).run(turns_df)
+    cf = DedupPipeline(
+        spark, fp_dir, replace(CFG, exact_verify="fingerprint")
+    ).run(turns_df)
+    as_sets = lambda df: {
+        (r["conv_id"], r["cluster_id"])
+        for r in df.select("conv_id", "cluster_id").collect()
+    }
+    assert as_sets(cb) == as_sets(cf)

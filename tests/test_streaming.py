@@ -326,3 +326,197 @@ def test_start_turn_level_end_to_end(spark, tmp_path):
     # the split-arrival conversation assembled to the SAME content key
     n2 = {r["conv_id"]: r["n_turns"] for r in spark.read.parquet(clusters).collect()}
     assert n2["copy"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round-4: set-based near index (no text, JVM verify), compaction lifecycle,
+# stateful-assembly timeout monotonicity
+# ---------------------------------------------------------------------------
+
+def test_near_index_stores_sets_not_text(spark, near_dirs):
+    """The near index must hold shingle-hash SETS, never document text:
+    text in the index is the scale hazard the batch pipeline eliminated."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("r1", 0, "user", _doc(60), "", None)]), 0)
+    idx = spark.read.parquet(os.path.join(near_dirs["nearidx"], "docs"))
+    assert "doc" not in idx.columns
+    assert set(idx.columns) == {"conv_id", "shingles", "cluster_id"}
+
+
+def test_near_probe_verify_is_jvm_only(spark, near_dirs, monkeypatch):
+    """Every verification the near tier runs must go through
+    verify_pairs_sets with a Python-free plan: the only Python of the batch
+    is the one materialized signature pass over fresh canonicals."""
+    import cpdd_spark.streaming as st
+
+    captured = []
+    orig = st.verify_pairs_sets
+
+    def spy(pairs, sets, cfg, **kw):
+        df = orig(pairs, sets, cfg, **kw)
+        captured.append(df)
+        return df
+
+    monkeypatch.setattr(st, "verify_pairs_sets", spy)
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("p1", 0, "user", _doc(60), "", None)]), 0)
+    dedup.process_batch(_turns(spark, [("p2", 0, "user", _doc(50), "", None)]), 1)
+    assert len(captured) >= 3  # within-batch x2 + cross-batch probe
+    for df in captured:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        for marker in ("MapInPandas", "PythonUDF", "ArrowEval", "BatchEvalPython"):
+            assert marker not in plan, f"{marker} in near-verify plan:\n{plan}"
+    # and the link actually happened through those JVM plans
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got == {"p1": "p1", "p2": "p1"}, got
+
+
+def test_legacy_text_index_migrates(spark, near_dirs):
+    """A round-3 index stored (conv_id, doc, cluster_id) raw text: probes
+    must keep working (read-time set derivation), and compact_index makes
+    the migration persistent."""
+    import pandas as pd
+
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("orig", 0, "user", _doc(60), "", None)]), 0)
+    # rewrite the docs index in the LEGACY raw-text layout
+    docs_dir = os.path.join(near_dirs["nearidx"], "docs")
+    stored = spark.read.parquet(docs_dir).toPandas()
+    import shutil
+
+    shutil.rmtree(docs_dir)
+    os.makedirs(docs_dir)
+    pd.DataFrame(
+        {
+            "conv_id": stored["conv_id"],
+            "doc": [_doc(60)] * len(stored),
+            "cluster_id": stored["cluster_id"],
+        }
+    ).to_parquet(os.path.join(docs_dir, "legacy.parquet"), index=False)
+
+    dedup.process_batch(_turns(spark, [("near1", 0, "user", _doc(50), "", None)]), 1)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got["near1"] == "orig", got
+
+    res = dedup.compact_index()
+    migrated = spark.read.parquet(docs_dir)
+    assert "shingles" in migrated.columns and "doc" not in migrated.columns
+    assert res["docs_after"] == 2  # orig (legacy) + near1, both migrated
+    # probe still green post-migration
+    dedup.process_batch(_turns(spark, [("near2", 0, "user", _doc(48), "", None)]), 2)
+    got2 = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got2["near2"] == "orig", got2
+
+
+def test_compact_index_shrinks_and_preserves_probe(spark, near_dirs):
+    """Lifecycle (round-3 verdict item 4): after replay-style duplicate
+    appends, compaction strictly shrinks both index tables and leaves probe
+    behavior identical (bands REBUILT from the stored sets must reproduce
+    the original collisions)."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(
+        _turns(
+            spark,
+            [
+                ("a1", 0, "user", _doc(60), "", None),
+                ("a2", 0, "user", _doc(52), "", None),
+            ],
+        ),
+        0,
+    )
+    dedup.process_batch(_turns(spark, [("b1", 0, "user", _doc(48), "", None)]), 1)
+
+    # simulate a crash replay that re-appended every index row
+    for sub in ("docs", "bands"):
+        path = os.path.join(near_dirs["nearidx"], sub)
+        dup = spark.read.parquet(path).localCheckpoint(eager=True)
+        dup.write.mode("append").parquet(path)
+
+    res = dedup.compact_index()
+    assert res["docs_after"] < res["docs_before"], res
+    assert res["bands_after"] < res["bands_before"], res
+    # every distinct representative survives
+    assert res["docs_after"] == 3
+    docs_ids = {
+        r["conv_id"]
+        for r in spark.read.parquet(
+            os.path.join(near_dirs["nearidx"], "docs")
+        ).collect()
+    }
+    assert docs_ids == {"a1", "a2", "b1"}
+
+    # probe after compaction: near-dup of b1's content chains to cluster a1
+    dedup.process_batch(_turns(spark, [("c1", 0, "user", _doc(46), "", None)]), 2)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got["c1"] == "a1", got
+
+
+def test_stateful_assembly_late_batch_no_rewind(spark, tmp_path):
+    """A micro-batch containing ONLY late/older turns for an open
+    conversation must not rewind its timeout below last-seen-turn + gap:
+    the conversation stays open, absorbs a subsequent turn, and emits ONE
+    row (the rewind bug split it into duplicate conv_id rows)."""
+    from cpdd_spark.streaming import TURNS_SCHEMA, assemble_stream_stateful
+
+    in_dir = tmp_path / "nri"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "nro")
+    ckpt = str(tmp_path / "nrc")
+
+    _ts_file(in_dir / "f1.parquet", [
+        ("x", 0, "t0", "2024-01-01 10:00:00"),
+        ("x", 1, "t1", "2024-01-01 10:10:00"),
+    ])
+    # ONLY an older (late but above-watermark) turn for x: must not rewind
+    _ts_file(in_dir / "f2.parquet", [("x", 2, "late", "2024-01-01 10:06:00")])
+    _ts_file(in_dir / "f3.parquet", [("adv1", 0, "a", "2024-01-01 10:17:00")])
+    # arrives while x must STILL be open (watermark 10:12 < 10:10+gap)
+    _ts_file(in_dir / "f4.parquet", [("x", 3, "post", "2024-01-01 10:14:00")])
+    _ts_file(in_dir / "f5.parquet", [("adv2", 0, "a", "2024-01-01 10:30:00")])
+    _ts_file(in_dir / "f6.parquet", [("adv3", 0, "a", "2024-01-01 11:00:00")])
+
+    def run():
+        stream = (
+            spark.readStream.schema(TURNS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir))
+        )
+        (
+            assemble_stream_stateful(stream, gap_seconds=300)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    run()
+    _ts_file(in_dir / "f7.parquet", [("adv4", 0, "flush", "2024-01-01 11:30:00")])
+    run()
+    rows = [
+        r for r in spark.read.parquet(out_dir).collect() if r["conv_id"] == "x"
+    ]
+    assert len(rows) == 1, rows  # early-close would emit two x rows
+    assert rows[0]["n_turns"] == 4
+    assert rows[0]["doc"] == "t0\nt1\nlate\npost"
