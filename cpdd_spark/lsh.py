@@ -96,21 +96,29 @@ def pairs_from_buckets(
         .persist()
     )
 
-    m = F.col("members")
-    sz = F.size(m)
-    banded = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(m, i + 2, F.greatest(F.least(F.lit(cap), sz - i - 1), F.lit(0))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # two-step expansion — posexplode the member index FIRST, then explode
+    # each member's banded slice: the largest value any single row carries
+    # is min(cap, n) member ids (~cap x id-width, a few KB), instead of the
+    # one-shot flatten whose single aggregation-output row held ALL
+    # O(shard x cap) pair structs (~tens of MB for a degenerate
+    # SHARD_TARGET x cap shard). Emitted pairs are identical: member i
+    # still pairs with its next min(cap, n-i-1) sorted neighbors.
+    sz = F.size("members")
     pairs = (
         grouped.filter(sz >= 2)
-        .select(F.explode(banded).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select("members", F.posexplode("members").alias("_i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(
+                    "members",
+                    F.col("_i") + 2,
+                    F.greatest(
+                        F.least(F.lit(cap), sz - F.col("_i") - 1), F.lit(0)
+                    ),
+                )
+            ).alias("b"),
+        )
     )
 
     # chain shard representatives of pre-salted degenerate buckets

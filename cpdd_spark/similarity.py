@@ -312,6 +312,17 @@ def _kmeans_spherical(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarra
     return centroids.astype(np.float64)
 
 
+def ivf_sample_df(
+    corpus: DataFrame, mod: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The IVF training-sample job: a pure hash-filtered scan — no global
+    sort/limit, so collecting it is a plain gather (plan-guarded: no
+    TakeOrderedAndProject merging num_partitions x cap rows driver-side)."""
+    return corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(mod)) == 0
+    ).select(id_col, vec_col)
+
+
 def ivf_centroids(
     corpus: DataFrame,
     dim: int,
@@ -324,18 +335,29 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Train the coarse quantizer on a DETERMINISTIC hash-sample of the
-    corpus (xxhash64(id) % sample_mod == 0 — unbiased w.r.t. insertion
+    corpus (xxhash64(id) % mod == 0 — unbiased w.r.t. insertion
     order, reproducible across runs/cluster sizes), capped at
     ``max_sample`` rows collected to the driver. At 10^12 scale the sample
-    is still O(max_sample): training cost does not grow with the corpus."""
+    is still O(max_sample): training cost does not grow with the corpus.
+
+    The modulus ADAPTS to the corpus: ``mod = max(sample_mod,
+    ceil(n / max_sample))`` from one cheap count, so the hash filter alone
+    bounds the collected rows near ``max_sample`` and the collect is a
+    plain UNORDERED gather of the filtered scan — no global
+    TakeOrderedAndProject (which would merge num_partitions x max_sample
+    embedding rows on the driver at scale). Determinism is preserved by
+    the hash filter + a DRIVER-side sort on id before the cap; on any
+    corpus where the old orderBy().limit() never truncated (every shipped
+    fixture), the selected sample — and therefore the trained centroids —
+    is bit-identical to the previous formulation (regression-tested
+    against saved centroids)."""
+    n = corpus.count()
+    eff_mod = max(int(sample_mod), -(-n // max_sample)) if n else int(sample_mod)
+    sample = ivf_sample_df(corpus, eff_mod, id_col, vec_col).toPandas()
     sample = (
-        corpus.filter(
-            F.pmod(F.xxhash64(F.col(id_col).cast("string")), sample_mod) == 0
-        )
-        .select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(max_sample)
-        .toPandas()
+        sample.sort_values(id_col, kind="mergesort")
+        .head(max_sample)
+        .reset_index(drop=True)
     )
     if len(sample) == 0:
         # tiny corpus that the hash-sample missed entirely: fall back to

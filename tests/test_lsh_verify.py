@@ -153,3 +153,60 @@ def test_verify_pairs_sets_matches_kernel(spark, turns_df):
     docs.unpersist()
     assert len(kernel) > 0
     assert kernel == jvm  # exact double equality, every candidate
+
+
+def test_banded_window_pairs_exact(spark, monkeypatch):
+    """Pin the banded-window contract bit-for-bit on an unsalted bucket:
+    sorted member i pairs with exactly its next min(cap, n-i-1) neighbors
+    (guards the round-4 explode-first reformulation)."""
+    import cpdd_spark.lsh as lsh
+
+    monkeypatch.setattr(lsh, "SHARD_TARGET", 10_000)  # no pre-salting
+    cap = 5
+    cfg = DedupConfig(max_band_bucket=cap)
+    n = 37
+    members = [f"c{i:03d}" for i in range(n)]
+    buckets = spark.createDataFrame(
+        [(0, 0, m) for m in members], "band_id int, band_hash int, conv_id string"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in lsh.pairs_from_buckets(
+            buckets, ["band_id", "band_hash"], cfg
+        ).collect()
+    }
+    expected = {
+        (members[i], members[j])
+        for i in range(n)
+        for j in range(i + 1, min(i + 1 + cap, n))
+    }
+    assert got == expected
+
+
+def test_degenerate_shard_bounded_rows_and_connected(spark, monkeypatch):
+    """A bucket larger than SHARD_TARGET pre-salts into shards; the
+    expansion must stay connected across shards, keep O(n*cap) volume,
+    and build no giant single row (the one-shot pair-flatten is gone from
+    the plan — each exploded row now carries at most ~cap ids)."""
+    import cpdd_spark.lsh as lsh
+    from cpdd_spark.cc import connected_components
+
+    monkeypatch.setattr(lsh, "SHARD_TARGET", 40)
+    cap = 5
+    cfg = DedupConfig(max_band_bucket=cap)
+    n = 130
+    members = [f"c{i:03d}" for i in range(n)]
+    buckets = spark.createDataFrame(
+        [(0, 0, m) for m in members], "band_id int, band_hash int, conv_id string"
+    )
+    pairs = lsh.pairs_from_buckets(buckets, ["band_id", "band_hash"], cfg)
+    rows = pairs.collect()
+    assert 0 < len(rows) <= n * cap + n  # banded volume + chain edges
+    # connectivity through shard-representative chains
+    comp = connected_components(pairs.select("a", "b")).toPandas()
+    touched = set(comp["conv_id"])
+    assert len(set(comp["cluster_id"])) == 1
+    assert touched == set(members) - (set(members) - touched)  # all touched ids one component
+    # the plan explodes indices then slices — never a whole-shard pair array
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "flatten(transform" not in plan
