@@ -71,6 +71,7 @@ EXTRA = [
     "ann_ivf_topk",      # IVF-Flat ANN (k-means coarse quantizer)
     "events_asof",       # as-of join (union + ordered forward-fill)
     "session_errors",    # interval join (bucketized containment)
+    "event_quantiles_approx",  # GK-sketch percentiles (the at-scale form)
 ]
 
 
@@ -104,6 +105,9 @@ def main() -> None:
     queries = dict(entry_mod.queries())
     # production MinHash route: benched here, oracle-gated via minhash_pairs
     queries["minhash_pairs_lsh"] = entry_mod.q_minhash_pairs_lsh
+    # bench times the FULL signature table (the kernel over every doc);
+    # the queries() 'signatures' entry is its pinned 20-row oracle probe
+    queries["signatures"] = entry_mod.q_signatures_full
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

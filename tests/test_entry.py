@@ -74,3 +74,38 @@ def test_rows_only_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_event_quantiles_approx_within_rank_bound(spark):
+    """The GK-sketch percentiles (the at-scale form) must land within the
+    documented rank-error bound of the exact quantiles: at accuracy a,
+    the returned p-quantile's true rank is within n/a of p*n — checked by
+    bracketing each approx value between the exact quantiles at p +- 1/a
+    (with a safety margin for interpolation at the bracket edges)."""
+    from pyspark.sql import functions as F
+
+    eps = 1.0 / 10000
+    ev = entry_mod._read(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: r
+        for r in entry_mod.q_event_quantiles_approx(spark, SF_DIR).collect()
+    }
+    for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+        for et, row in approx.items():
+            # the sketch returns an ELEMENT whose rank is within n*eps of
+            # p*n, while the exact `percentile` interpolates between
+            # elements — bracket with an extra 2/n of rank slack to absorb
+            # the definitional off-by-one at the bracket edges
+            n = int(row["n"])
+            margin = 2 * eps + 2.0 / max(n, 1)
+            lo_p, hi_p = max(p - margin, 0.0), min(p + margin, 1.0)
+            b = (
+                ev.filter(F.col("event_type") == et)
+                .agg(
+                    F.percentile("value", F.lit(lo_p)).alias("lo"),
+                    F.percentile("value", F.lit(hi_p)).alias("hi"),
+                )
+                .collect()[0]
+            )
+            v = row[col]
+            assert b["lo"] <= v <= b["hi"], (et, col, v, b["lo"], b["hi"])
