@@ -70,6 +70,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --stream: enable the NEAR-duplicate probe tier, storing "
         "the representative band/doc index in DIR",
     )
+    p.add_argument(
+        "--turn-level", action="store_true",
+        help="with --stream: treat arriving files as TURN-level (a "
+        "conversation's turns may arrive out of order across files/"
+        "batches); watermarked stateful assembly closes a conversation "
+        "once event time passes its last turn + --gap-seconds, then the "
+        "document flows through the same dedup probe. Rerun to flush "
+        "states pending on the restored watermark",
+    )
+    p.add_argument(
+        "--gap-seconds", type=int, default=600,
+        help="with --turn-level: event-time quiet gap that completes a "
+        "conversation (default 600)",
+    )
+    p.add_argument(
+        "--compact-index", action="store_true",
+        help="with --stream + --near-index: after the stream drains, "
+        "compact the near index (dedupe representatives, rebuild bands "
+        "from stored shingle sets, persist any legacy-layout migration) — "
+        "run between streaming runs, never concurrently with one",
+    )
     p.add_argument("--stats", action="store_true", help="print dedup statistics")
     p.add_argument("--tau", type=float, default=None, help="Jaccard threshold")
     p.add_argument(
@@ -112,9 +133,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             dedup = IncrementalDedup(
                 spark, clusters_dir, near_index_dir=args.near_index, cfg=cfg
             )
-            dedup.start(
-                args.input[0], os.path.join(args.workdir, "checkpoint")
-            ).awaitTermination()
+            ckpt = os.path.join(args.workdir, "checkpoint")
+            if args.turn_level:
+                dedup.start_turn_level(
+                    args.input[0], ckpt, gap_seconds=args.gap_seconds
+                ).awaitTermination()
+            else:
+                dedup.start(args.input[0], ckpt).awaitTermination()
+            if args.compact_index and args.near_index:
+                res = dedup.compact_index()
+                if res is not None:
+                    print(
+                        "near index compacted: docs "
+                        f"{res['docs_before']} -> {res['docs_after']}, bands "
+                        f"{res['bands_before']} -> {res['bands_after']}"
+                    )
             # an empty watch dir runs zero micro-batches and never creates
             # clusters_dir: report 0 rows instead of a read traceback
             if os.path.isdir(clusters_dir):

@@ -193,3 +193,82 @@ def test_cli_stream_mode(spark, tmp_path, capsys):
     }
     assert got == {"one": "one", "two": "one"}, got
     assert "streaming clusters index" in capsys.readouterr().out
+
+
+def test_cli_stream_compact_and_turn_level(spark, tmp_path, capsys):
+    """Round-4 CLI surface: --compact-index compacts the near index after
+    the stream drains; --turn-level drives the stateful-assembly path."""
+    import os
+
+    import pandas as pd
+
+    in_dir = tmp_path / "cin"
+    in_dir.mkdir()
+    work = str(tmp_path / "cwork")
+    near = str(tmp_path / "cnear")
+    doc = " ".join(f"tok{i}" for i in range(60))
+    sub = " ".join(f"tok{i}" for i in range(50))
+
+    def _drop(name, conv_id, text):
+        pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "turn_idx": pd.array([0], dtype="int32"),
+                "role": ["user"],
+                "text": [text],
+                "tool": [""],
+                "ts": pd.array([pd.NaT], dtype="datetime64[us]"),
+            }
+        ).to_parquet(str(in_dir / name), index=False)
+
+    _drop("b1.parquet", "one", doc)
+    _drop("b2.parquet", "two", sub)
+    argv = [
+        "--input", str(in_dir), "--workdir", work, "--stream",
+        "--near-index", near, "--compact-index",
+    ]
+    assert main(argv, spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "near index compacted" in out
+    docs_idx = spark.read.parquet(os.path.join(near, "docs"))
+    assert "doc" not in docs_idx.columns  # set-based index through the CLI
+
+    # turn-level mode: out-of-order turns of a dup conversation across
+    # files, with advancer traffic + a flush rerun (watermark restore)
+    tin = tmp_path / "tlin"
+    tin.mkdir()
+    twork = str(tmp_path / "tlwork")
+
+    def _turns_file(name, rows):
+        pd.DataFrame(
+            {
+                "conv_id": [r[0] for r in rows],
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": ["user"] * len(rows),
+                "text": [r[2] for r in rows],
+                "tool": [""] * len(rows),
+                "ts": pd.array(
+                    [pd.Timestamp(r[3]) for r in rows], dtype="datetime64[us]"
+                ),
+            }
+        ).to_parquet(str(tin / name), index=False)
+
+    _turns_file("f1.parquet", [
+        ("orig", 0, "hello", "2024-01-01 10:00:00"),
+        ("orig", 1, "bye", "2024-01-01 10:00:30"),
+        ("copy", 1, "bye", "2024-01-01 11:00:30"),
+    ])
+    _turns_file("f2.parquet", [("copy", 0, "hello", "2024-01-01 11:00:00")])
+    _turns_file("f3.parquet", [("w1", 0, "adv", "2024-01-01 13:00:00")])
+    _turns_file("f4.parquet", [("w2", 0, "adv2", "2024-01-01 14:00:00")])
+    targv = [
+        "--input", str(tin), "--workdir", twork, "--stream", "--turn-level",
+    ]
+    assert main(targv, spark=spark) == 0
+    _turns_file("f5.parquet", [("w3", 0, "flush", "2024-01-01 15:00:00")])
+    assert main(targv, spark=spark) == 0
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(os.path.join(twork, "clusters")).collect()
+    }
+    assert got.get("orig") == "orig" and got.get("copy") == "orig", got
