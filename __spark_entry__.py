@@ -450,6 +450,71 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per user with at least one click, the first click
+    time, first purchase time, and click->purchase conversion latency.
+    One conditional-min aggregation — a single shuffle on user_id, no
+    window, no join; integer microseconds end to end. No-purchase (and
+    purchase-before-first-click) cases carry the sentinel -1 rather than
+    NULL so every output column is total-orderable (engine-independent row
+    sorting; NULL-first vs NULL-last conventions differ)."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ep_us().cast("long").alias("ep_us")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ep_us"))).alias(
+            "first_click_us"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ep_us"))).alias(
+            "first_purchase_us"
+        ),
+    )
+    return agg.filter(F.col("first_click_us").isNotNull()).select(
+        "user_id",
+        "first_click_us",
+        F.coalesce("first_purchase_us", F.lit(-1)).alias("first_purchase_us"),
+        F.coalesce(
+            F.when(
+                F.col("first_purchase_us") >= F.col("first_click_us"),
+                F.col("first_purchase_us") - F.col("first_click_us"),
+            ),
+            F.lit(-1),
+        ).alias("convert_us"),
+    )
+
+
+def q_user_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running purchase total: a cumulative window over
+    (user_id) ordered by (ep_us, event_id) — the prefix-aggregation shape
+    (partitioned by a high-cardinality key, so it scales like
+    sessionization). The sum accumulates in DECIMAL so the running value
+    is exact and independent of the engine's window-evaluation tree
+    (DuckDB's segment-tree windowed SUM would not be float-order-identical
+    to Spark's sequential accumulation; decimal makes order moot)."""
+    from pyspark.sql import Window
+
+    p = (
+        _read(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", _ep_us().cast("long").alias("ep_us"), "value"
+        )
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ep_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return p.select(
+        "user_id",
+        "event_id",
+        "ep_us",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(cum)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
 def _ep_us(col: str = "ts"):
     """Epoch microseconds from date parts (TZ-safe: never cast
     TIMESTAMP_NTZ to a number — see q_user_sessions)."""
@@ -957,6 +1022,56 @@ def q_order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by total price per customer market segment — the
+    top-N-per-GROUP pattern, built scale-safe for LOW-cardinality groups
+    (5 segments: a bare row_number window would funnel the whole orders
+    table through 5 partitions).
+
+    Two passes: (1) a per-segment ``percentile_approx`` threshold at
+    ``q = 1 - (k/min_n + 1/a)`` — chosen so the GK rank-error bound
+    guarantees at least k rows survive per segment, hence the true top-k
+    all survive (rows >= thr is at least n(1-q-1/a) = k*n/min_n >= k) —
+    broadcast back as a 5-row filter; (2) row_number only over the pruned
+    residue (~k*segments + n/a rows). The per-segment counts are a 5-row
+    driver planning hop, same class as CC's convergence checks. Exactness:
+    pruning keeps every row priced >= the true k-th max (ties included),
+    so the window sees every candidate; ties break by o_orderkey."""
+    from pyspark.sql import Window
+
+    orders = _read(spark, sf_dir, "orders")
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    so = orders.select("o_orderkey", "o_custkey", "o_totalprice").join(
+        F.broadcast(cust), "o_custkey"
+    )
+    k, acc = 3, 10000
+    counts = so.groupBy("c_mktsegment").count().collect()
+    min_n = min((r["count"] for r in counts), default=0)
+    q = 1.0 - (k / min_n + 1.0 / acc) if min_n else 0.0
+    if q > 0:
+        thr = so.groupBy("c_mktsegment").agg(
+            F.percentile_approx("o_totalprice", F.lit(q), F.lit(acc)).alias("_thr")
+        )
+        so = so.join(F.broadcast(thr), "c_mktsegment").filter(
+            F.col("o_totalprice") >= F.col("_thr")
+        )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        so.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
+    )
+
+
 def q_order_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE reporting — the grouping-sets superset of the ROLLUP query:
     adds the priority-only marginal level ((status,priority), (status),
@@ -1012,6 +1127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_errors": q_session_errors,
         "event_quantiles": q_event_quantiles,
         "user_sessions": q_user_sessions,
+        "user_conversion": q_user_conversion,
+        "user_running_spend": q_user_running_spend,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -1020,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_suppliers": q_active_suppliers,
         "order_priority_rollup": q_order_priority_rollup,
         "order_priority_cube": q_order_priority_cube,
+        "top_orders_per_segment": q_top_orders_per_segment,
         "substring_pairs": q_substring_pairs,
         "pipeline_metrics": q_pipeline_metrics,
         "simhash_pairs": q_simhash_pairs,
@@ -1443,6 +1561,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "user_conversion": """
+        SELECT user_id, first_click_us,
+               COALESCE(first_purchase_us, -1) AS first_purchase_us,
+               COALESCE(CASE WHEN first_purchase_us >= first_click_us
+                    THEN first_purchase_us - first_click_us END, -1) AS convert_us
+        FROM (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click_us,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us
+          FROM events GROUP BY user_id
+        )
+        WHERE first_click_us IS NOT NULL
+        """,
+        # running sum accumulates in DECIMAL on BOTH engines so the value
+        # is exact regardless of window-evaluation order (DuckDB's
+        # segment-tree SUM vs Spark's sequential accumulation)
+        "user_running_spend": """
+        SELECT user_id, event_id, epoch_us(ts) AS ep_us,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE) AS cum_spend
+        FROM events WHERE event_type = 'purchase'
+        """,
+        "top_orders_per_segment": """
+        SELECT c_mktsegment AS segment, o_orderkey, o_totalprice, rn
+        FROM (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey
+                 ) AS BIGINT) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rn <= 3
         """,
         "order_priority_cube": """
         SELECT COALESCE(o_orderstatus, 'ALL') AS status,
