@@ -210,3 +210,48 @@ def test_degenerate_shard_bounded_rows_and_connected(spark, monkeypatch):
     # the plan explodes indices then slices — never a whole-shard pair array
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "flatten(transform" not in plan
+
+
+@pytest.mark.parametrize("seed,n,cap,shard", [(1, 50, 3, 25), (2, 137, 7, 40), (3, 90, 5, 30)])
+def test_salted_expansion_matches_python_model(spark, monkeypatch, seed, n, cap, shard):
+    """Full independent model of the salted degenerate-bucket expansion:
+    Spark's crc32 == zlib.crc32, so salting + per-shard banded windows +
+    shard-representative chains are all replicable in plain Python — the
+    DataFrame formulation must match it bit-for-bit."""
+    import random
+    import zlib
+
+    import cpdd_spark.lsh as lsh
+
+    monkeypatch.setattr(lsh, "SHARD_TARGET", shard)
+    cfg = DedupConfig(max_band_bucket=cap)
+    rng = random.Random(seed)
+    members = sorted({f"m{rng.randrange(10_000):05d}" for _ in range(n)})
+    buckets = spark.createDataFrame(
+        [(0, 0, m) for m in members], "band_id int, band_hash int, conv_id string"
+    )
+    got = {
+        (r["a"], r["b"])
+        for r in lsh.pairs_from_buckets(
+            buckets, ["band_id", "band_hash"], cfg
+        ).collect()
+    }
+
+    n_shards = max(1, -(-len(members) // shard))
+    by_salt: dict[int, list[str]] = {}
+    for m in members:
+        by_salt.setdefault(zlib.crc32(m.encode()) % n_shards, []).append(m)
+    expected = set()
+    reps = []
+    for salt, ms in by_salt.items():
+        ms = sorted(ms)
+        reps.append(ms[0])
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 : i + 1 + cap]:
+                expected.add((a, b))
+    if len(reps) > 1:
+        bucket_rep = min(reps)
+        for r in reps:
+            if r != bucket_rep:
+                expected.add((min(r, bucket_rep), max(r, bucket_rep)))
+    assert got == expected
