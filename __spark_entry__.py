@@ -40,6 +40,7 @@ from cpdd_spark.multimodal import attach_payload, extract_features
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.rangejoin import interval_join
+from cpdd_spark.sampling import hash_bucket_sql, hash_split, stratified_sample
 from cpdd_spark.session import ship_package
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.similarity import (
@@ -447,6 +448,31 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ep_us").alias("end_us"),
             (F.max("ep_us") - F.min("ep_us")).alias("duration_us"),
         )
+    )
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment over documents
+    (cpdd_spark.sampling.hash_split): md5-bucket thresholds, pure
+    map-side projection — zero shuffle, stable under reruns/
+    repartitioning/incremental arrival, engine-portable (the oracle runs
+    the SAME hex-parse CASE ladder in DuckDB)."""
+    docs = _read(spark, sf_dir, "documents")
+    return hash_split(
+        docs.select("doc_id"), "doc_id",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    ).select("doc_id", F.col("split_bucket").cast("long").alias("split_bucket"), "split")
+
+
+def q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language down-sampling of documents
+    (cpdd_spark.sampling.stratified_sample): keep 50% of 'en', 25% of
+    'de', 10% of everything else — one map-side hash filter, the same ids
+    on every engine/run (unlike sampleBy's RNG draws)."""
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "lang"), "doc_id", "lang",
+        {"en": 0.5, "de": 0.25}, default_rate=0.10,
     )
 
 
@@ -1129,6 +1155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "user_conversion": q_user_conversion,
         "user_running_spend": q_user_running_spend,
+        "doc_split": q_doc_split,
+        "stratified_doc_sample": q_stratified_doc_sample,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -1561,6 +1589,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        # both sides parse md5's first 3 hex chars with the SAME CASE
+        # ladder (hash_bucket_sql is generated from the same table as the
+        # Spark expression — the two cannot drift independently)
+        "doc_split": f"""
+        SELECT doc_id,
+               CAST({hash_bucket_sql('doc_id')} AS BIGINT) AS split_bucket,
+               CASE WHEN {hash_bucket_sql('doc_id')} < 3686 THEN 'train'
+                    WHEN {hash_bucket_sql('doc_id')} < 3891 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+        "stratified_doc_sample": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {hash_bucket_sql('doc_id')} <
+              CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 410 END
         """,
         "user_conversion": """
         SELECT user_id, first_click_us,

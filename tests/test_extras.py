@@ -308,3 +308,51 @@ def test_ivf_sample_job_has_no_driver_merge(spark, embs):
     c1 = ivf_centroids(embs, dim=64, n_centroids=8, iters=3)
     c2 = ivf_centroids(embs, dim=64, n_centroids=8, iters=3)
     assert (c1 == c2).all()
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """hash_split: pure function of the id — identical assignment across
+    reruns and repartitionings, fractions validated, masses near the
+    requested split."""
+    import pytest as _pytest
+
+    from cpdd_spark.sampling import hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(17), "doc_id", fr).collect()
+    }
+    assert a == b
+    n = len(a)
+    masses = {s: sum(1 for v in a.values() if v == s) / n for s in fr}
+    assert abs(masses["train"] - 0.9) < 0.03
+    assert abs(masses["val"] - 0.05) < 0.02
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "val": 0.2}).collect()
+
+
+def test_stratified_sample_consistent_with_late_arrivals(spark):
+    """The property sampleBy lacks: sampling a PREFIX of the data then the
+    rest yields exactly the union of sampling everything at once — late
+    shards sample consistently with the already-processed corpus."""
+    from cpdd_spark.sampling import stratified_sample
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("other").alias("lang"),
+    )
+    rates = {"en": 0.5}
+    whole = {r["doc_id"] for r in stratified_sample(df, "doc_id", "lang", rates, 0.1).collect()}
+    first = {r["doc_id"] for r in stratified_sample(df.filter("doc_id < 1200"), "doc_id", "lang", rates, 0.1).collect()}
+    rest = {r["doc_id"] for r in stratified_sample(df.filter("doc_id >= 1200"), "doc_id", "lang", rates, 0.1).collect()}
+    assert first | rest == whole and not (first & rest)
+    # rates actually differ per stratum
+    langs = {r["doc_id"]: r["lang"] for r in df.collect()}
+    en = [d for d in whole if langs[d] == "en"]
+    other = [d for d in whole if langs[d] == "other"]
+    assert len(en) / (2000 / 3) > 0.4 and len(other) / (2000 * 2 / 3) < 0.2
