@@ -151,6 +151,81 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
+    """STUB: real resize requires a raster decode (PIL/libvips), absent in
+    this container. ``fake=True`` returns a deterministic stand-in: the
+    payload re-sampled to ``width*height`` bytes at a fixed stride — wrong
+    pixels, right SHAPE, so the distributed plumbing (batch contract,
+    output sizing, metadata update) is exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "environment; pass fake=True for the deterministic stand-in"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    n = max(1, width * height)
+    if len(arr) == 0:
+        return bytes(n)
+    idx = (np.arange(n) * len(arr)) // n
+    return arr[idx].tobytes()
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """``media -> media`` with every payload resized to ``width x height``
+    and the metadata struct updated — the mapInPandas batch shape of a real
+    thumbnail/normalization pass (swap :func:`resize_image`'s body for a
+    codec, keep the plan). Metadata is recomputed JVM-side after the
+    kernel; only the byte transform crosses into Python."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "payload": [
+                        resize_image(p, width, height, fake=fake)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    resized = media.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema="media_id string, kind string, payload binary"
+    )
+    return resized.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(height).cast("int").alias("height"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def avg_pool_features(features: DataFrame, factor: int = 4) -> DataFrame:
+    """REAL (no codec): average-pool each fixed-length feature vector by
+    ``factor`` — the standard embedding-compaction step before ANN
+    indexing, as a pure JVM expression (aggregate over array slices inside
+    codegen; no Python). Input: ``(media_id, features array<float>)``."""
+    f = F.col("features")
+    k = F.lit(factor)
+    pooled = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(f) - 1) / k).cast("int")),
+        lambda i: F.aggregate(
+            F.slice(f, i * k + 1, factor),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+        / F.size(F.slice(f, i * k + 1, factor)),
+    )
+    return features.select("media_id", pooled.alias("pooled"))
+
+
 def frame_sample(media: DataFrame, every_n: int = 1024, max_frames: int = 8) -> DataFrame:
     """Deterministic 'frame sampling': slice the payload at fixed strides —
     the plumbing twin of video frame extraction (binary slicing, explode,

@@ -356,3 +356,45 @@ def test_stratified_sample_consistent_with_late_arrivals(spark):
     en = [d for d in whole if langs[d] == "en"]
     other = [d for d in whole if langs[d] == "other"]
     assert len(en) / (2000 / 3) > 0.4 and len(other) / (2000 * 2 / 3) < 0.2
+
+
+def test_multimodal_resize_and_pool_plumbing(spark):
+    """resize_media: honest stub decode behind real distributed plumbing —
+    payload resized to the target byte shape, metadata updated JVM-side;
+    avg_pool_features: pure-JVM pooling matches numpy."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from cpdd_spark.multimodal import (
+        attach_payload,
+        avg_pool_features,
+        extract_features,
+        resize_image,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 40), (2, "xyz")], "doc_id long, text string"
+    )
+    media = attach_payload(docs, "doc_id", "text")
+    out = resize_media(media, width=8, height=4).collect()
+    for r in out:
+        assert len(r["payload"]) == 32
+        assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"abc", 2, 2, fake=False)
+
+    feats = extract_features(media)
+    pooled = {r["media_id"]: r["pooled"] for r in avg_pool_features(feats).collect()}
+    raw = {r["media_id"]: np.array(r["features"]) for r in feats.collect()}
+    for mid, p in pooled.items():
+        expect = raw[mid].reshape(-1, 4).mean(axis=1)
+        assert np.allclose(np.array(p), expect, atol=1e-6), mid
+    # JVM-only pooling: no Python stage beyond the feature kernel itself
+    plan = avg_pool_features(
+        feats.localCheckpoint(eager=True)
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "MapInPandas" not in plan
