@@ -476,6 +476,50 @@ def q_stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-batch sequence packing: assign documents to fixed
+    token-budget packs (budget 2048) by contiguous fill — running token
+    count over a deterministic order, pack id = floor(preceding-total /
+    budget). Windows partition by ``lang`` so packing parallelizes by
+    stratum (the real pipeline packs within shard/stratum anyway so packs
+    never straddle data-locality boundaries); integer arithmetic end to
+    end, so the SQL twin is exact."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(prev / F.lit(2048)).cast("long").alias("pack_id"),
+    )
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition removal (the Gopher/RefinedWeb line-dedup
+    filter): drop repeated lines within each document, keeping first
+    occurrence — pure JVM array ops (split / array_distinct preserves
+    first-occurrence order in both engines), no Python. Emits the dedup
+    accounting a quality pipeline reports."""
+    docs = _read(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    distinct_lines = F.array_distinct(lines)
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(distinct_lines).cast("long").alias("n_distinct_lines"),
+        F.length(F.concat_ws("\n", distinct_lines)).cast("long").alias("deduped_len"),
+    )
+
+
 def q_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: per user with at least one click, the first click
     time, first purchase time, and click->purchase conversion latency.
@@ -1157,6 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_running_spend": q_user_running_spend,
         "doc_split": q_doc_split,
         "stratified_doc_sample": q_stratified_doc_sample,
+        "pack_sequences": q_pack_sequences,
+        "line_dedup": q_line_dedup,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -1605,6 +1651,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM documents
         WHERE {hash_bucket_sql('doc_id')} <
               CASE lang WHEN 'en' THEN 2048 WHEN 'de' THEN 1024 ELSE 410 END
+        """,
+        "pack_sequences": """
+        SELECT doc_id, lang, n_tokens,
+               CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048) AS BIGINT) AS pack_id
+        FROM (
+          SELECT doc_id, lang,
+                 CAST(CASE WHEN length(text)=0 THEN 0
+                      ELSE len(string_split(text,' ')) END AS BIGINT) AS n_tokens
+          FROM documents
+        )
+        """,
+        "line_dedup": """
+        SELECT doc_id,
+               CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+               CAST(len(list_distinct(string_split(text, chr(10)))) AS BIGINT)
+                 AS n_distinct_lines,
+               CAST(length(array_to_string(list_distinct(string_split(text, chr(10))),
+                 chr(10))) AS BIGINT) AS deduped_len
+        FROM documents
         """,
         "user_conversion": """
         SELECT user_id, first_click_us,
