@@ -72,6 +72,12 @@ EXTRA = [
     "events_asof",       # as-of join (union + ordered forward-fill)
     "session_errors",    # interval join (bucketized containment)
     "event_quantiles_approx",  # GK-sketch percentiles (the at-scale form)
+    "user_conversion",   # funnel (conditional-min aggregation)
+    "user_running_spend",  # per-user running prefix sum (decimal-exact)
+    "top_orders_per_segment",  # threshold-pruned top-N per group
+    "doc_split",         # deterministic hash split (map-side only)
+    "pack_sequences",    # token-budget sequence packing
+    "line_dedup",        # intra-doc line dedup (JVM array ops)
 ]
 
 
