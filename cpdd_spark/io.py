@@ -71,6 +71,7 @@ class TableIO:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             return
+        df, partition_by = self._writable(df, partition_by)
         writer = df.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -91,10 +92,34 @@ class TableIO:
                 return
             df.writeTo(f"cpdd.{name}").append()
         else:
+            df, partition_by = self._writable(df, partition_by)
             writer = df.write.mode("append")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(self.path(name))
+
+    @staticmethod
+    def _writable(
+        df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[DataFrame, list[str] | None]:
+        """Empty-output guards — a degenerate write must still commit a
+        READABLE (schema-bearing) table:
+
+        - a ZERO-partition DataFrame (empty input relation) writes no
+          parquet part files at all, only _SUCCESS, and read-back then
+          fails schema inference → force one empty file;
+        - a dynamic-partitioned write of ZERO rows creates no partition
+          directories (same unreadable result) → write the empty table
+          unpartitioned; the partition column stays as a data column, so
+          the read-back schema is unchanged.
+
+        Both checks are cheap (getNumPartitions is plan metadata; isEmpty
+        reads at most one row) and only the degenerate shapes divert."""
+        if df.rdd.getNumPartitions() == 0:
+            df = df.repartition(1)
+        if partition_by and df.isEmpty():
+            return df.repartition(1), None
+        return df, partition_by
 
     def drop(self, name: str) -> None:
         if self.iceberg:

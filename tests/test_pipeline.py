@@ -174,3 +174,17 @@ def test_pipeline_fingerprint_exact_verify(spark, turns_df, workdir):
         for r in df.select("conv_id", "cluster_id").collect()
     }
     assert as_sets(cb) == as_sets(cf)
+
+
+def test_pipeline_empty_input(spark, workdir):
+    """Zero turns: every stage commits an EMPTY table and the run completes
+    (a crashed first stage would instead leave nothing committed)."""
+    empty = spark.createDataFrame(
+        [],
+        "conv_id string, turn_idx int, role string, text string, tool string,"
+        " ts timestamp",
+    )
+    pipe = DedupPipeline(spark, workdir, CFG)
+    clusters = pipe.run(empty)
+    assert clusters.count() == 0
+    assert dict(pipe.stage_log)["clusters"] == "computed"

@@ -520,3 +520,71 @@ def test_stateful_assembly_late_batch_no_rewind(spark, tmp_path):
     assert len(rows) == 1, rows  # early-close would emit two x rows
     assert rows[0]["n_turns"] == 4
     assert rows[0]["doc"] == "t0\nt1\nlate\npost"
+
+
+def test_near_tier_empty_and_all_dup_batches(spark, near_dirs):
+    """Degenerate micro-batches through the near tier: an all-duplicate
+    batch (no fresh canonicals) and an empty batch must both no-op cleanly
+    against the index."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("e1", 0, "user", _doc(60), "", None)]), 0)
+    # batch 2: byte-identical to e1 -> exact probe catches it, fresh set empty
+    dedup.process_batch(_turns(spark, [("e2", 0, "user", _doc(60), "", None)]), 1)
+    # batch 3: zero rows
+    dedup.process_batch(
+        spark.createDataFrame(
+            [],
+            "conv_id string, turn_idx int, role string, text string,"
+            " tool string, ts timestamp",
+        ),
+        2,
+    )
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got == {"e1": "e1", "e2": "e1"}
+    idx = spark.read.parquet(os.path.join(near_dirs["nearidx"], "docs"))
+    assert idx.count() == 1  # only e1 ever stored
+
+
+def test_mid_stream_compaction_equivalence(spark, tmp_path):
+    """Compacting BETWEEN micro-batches must not change any subsequent
+    assignment: run batches 1-2, compact, batch 3 — final clusters equal a
+    parallel run that never compacted."""
+    outcomes = {}
+    for mode in ("plain", "compacted"):
+        cl = str(tmp_path / f"{mode}_cl")
+        ni = str(tmp_path / f"{mode}_ni")
+        dedup = IncrementalDedup(spark, cl, near_index_dir=ni)
+        dedup.process_batch(
+            _turns(
+                spark,
+                [
+                    ("a1", 0, "user", _doc(60), "", None),
+                    ("a2", 0, "user", _doc(52), "", None),
+                ],
+            ),
+            0,
+        )
+        dedup.process_batch(_turns(spark, [("b1", 0, "user", _doc(48), "", None)]), 1)
+        if mode == "compacted":
+            res = dedup.compact_index()
+            assert res is not None
+        dedup.process_batch(
+            _turns(
+                spark,
+                [
+                    ("c1", 0, "user", _doc(46), "", None),
+                    ("d1", 0, "user", _doc(40, start=900), "", None),
+                ],
+            ),
+            2,
+        )
+        outcomes[mode] = {
+            r["conv_id"]: r["cluster_id"]
+            for r in spark.read.parquet(cl).collect()
+        }
+    assert outcomes["plain"] == outcomes["compacted"], outcomes
