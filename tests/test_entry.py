@@ -109,3 +109,17 @@ def test_event_quantiles_approx_within_rank_bound(spark):
             )
             v = row[col]
             assert b["lo"] <= v <= b["hi"], (et, col, v, b["lo"], b["hi"])
+
+
+def test_bench_query_keys_resolve():
+    """Every HEADLINE/EXTRA name in bench.py must resolve to a runnable
+    query exactly the way bench builds its dict — a renamed queries() key
+    fails here instead of at round-end bench time."""
+    import bench
+
+    queries = dict(entry_mod.queries())
+    queries["minhash_pairs_lsh"] = entry_mod.q_minhash_pairs_lsh
+    queries["signatures"] = entry_mod.q_signatures_full
+    for name in bench.HEADLINE + bench.EXTRA:
+        assert name in queries, name
+        assert callable(queries[name])
