@@ -77,7 +77,12 @@ def build_parser() -> argparse.ArgumentParser:
         "batches); watermarked stateful assembly closes a conversation "
         "once event time passes its last turn + --gap-seconds, then the "
         "document flows through the same dedup probe. Rerun to flush "
-        "states pending on the restored watermark",
+        "states pending on the restored watermark. NOTE: the per-"
+        "conversation state schema gained a max_ts field; checkpoints "
+        "written by earlier releases (2-field state) fail Spark's state-"
+        "schema compatibility check on resume — restart those streams "
+        "with a FRESH checkpoint dir (reprocess the input; the dedup "
+        "index/anti-join keeps the output idempotent)",
     )
     p.add_argument(
         "--gap-seconds", type=int, default=600,

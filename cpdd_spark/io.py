@@ -71,11 +71,7 @@ class TableIO:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
             return
-        df, partition_by = self._writable(df, partition_by)
-        writer = df.write.mode(mode)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(name))
+        self._write_parquet(df, name, "overwrite", partition_by)
 
     def append(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -92,34 +88,42 @@ class TableIO:
                 return
             df.writeTo(f"cpdd.{name}").append()
         else:
-            df, partition_by = self._writable(df, partition_by)
-            writer = df.write.mode("append")
-            if partition_by:
-                writer = writer.partitionBy(*partition_by)
-            writer.parquet(self.path(name))
+            self._write_parquet(df, name, "append", partition_by)
 
-    @staticmethod
-    def _writable(
-        df: DataFrame, partition_by: list[str] | None
-    ) -> tuple[DataFrame, list[str] | None]:
-        """Empty-output guards — a degenerate write must still commit a
-        READABLE (schema-bearing) table:
+    def _write_parquet(
+        self, df: DataFrame, name: str, mode: str, partition_by: list[str] | None
+    ) -> None:
+        """Parquet write with empty-output guards — a degenerate write must
+        still commit a READABLE (schema-bearing) table:
 
         - a ZERO-partition DataFrame (empty input relation) writes no
           parquet part files at all, only _SUCCESS, and read-back then
-          fails schema inference → force one empty file;
+          fails schema inference → force one empty file (getNumPartitions
+          is plan metadata, no job);
         - a dynamic-partitioned write of ZERO rows creates no partition
-          directories (same unreadable result) → write the empty table
-          unpartitioned; the partition column stays as a data column, so
-          the read-back schema is unchanged.
-
-        Both checks are cheap (getNumPartitions is plan metadata; isEmpty
-        reads at most one row) and only the degenerate shapes divert."""
+          directories (same unreadable result). Detected AFTER the write by
+          a filesystem walk (no part file anywhere under the table dir) —
+          an upfront ``isEmpty()`` would re-execute the full upstream plan
+          once per non-degenerate partitioned write just to prove it
+          non-empty; the walk costs ~zero and only the degenerate shape
+          pays the rewrite. The rewrite commits the empty table
+          unpartitioned: the partition column stays as a data column, so
+          the read-back schema is unchanged."""
         if df.rdd.getNumPartitions() == 0:
             df = df.repartition(1)
-        if partition_by and df.isEmpty():
-            return df.repartition(1), None
-        return df, partition_by
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+        if partition_by and not self._has_part_files(self.path(name)):
+            df.repartition(1).write.mode("overwrite").parquet(self.path(name))
+
+    @staticmethod
+    def _has_part_files(path: str) -> bool:
+        for root, _dirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     def drop(self, name: str) -> None:
         if self.iceberg:

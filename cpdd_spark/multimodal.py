@@ -223,6 +223,12 @@ def avg_pool_features(features: DataFrame, factor: int = 4) -> DataFrame:
         )
         / F.size(F.slice(f, i * k + 1, factor)),
     )
+    # empty vectors: sequence(0, floor(-1/k)) is the DESCENDING [0, -1] in
+    # Spark, whose -1 index slices from the array END — guard to an empty
+    # pooled array instead of [null, null]
+    pooled = F.when(F.size(f) > 0, pooled).otherwise(
+        F.array().cast("array<double>")
+    )
     return features.select("media_id", pooled.alias("pooled"))
 
 

@@ -189,14 +189,37 @@ class IncrementalDedup:
             out = self._near_resolve(out, docs.select("conv_id", "doc"))
         out.write.mode("append").parquet(self.clusters_dir)
 
-    def _read_index(self, sub: str) -> DataFrame | None:
-        path = os.path.join(self.near_index_dir, sub)
-        try:
-            if any(f.endswith(".parquet") for f in os.listdir(path)):
-                return self.spark.read.parquet(path)
-        except FileNotFoundError:
-            pass
+    def _index_dir(self, sub: str) -> str | None:
+        """Resolve the on-disk directory for an index table, tolerating a
+        crash mid-:meth:`compact_index` swap: prefer the live dir, else a
+        fully-written ``__compact`` build, else the ``__old`` dir renamed
+        aside. A surviving fallback dir is REPAIRED in place — promoted to
+        the live name with one atomic rename — so a subsequent append
+        cannot recreate the live dir beside it and shadow the stored
+        representatives (a read-only fallback would reopen that recall
+        hole one batch later)."""
+
+        def has_parquet(d: str) -> bool:
+            try:
+                return any(f.endswith(".parquet") for f in os.listdir(d))
+            except FileNotFoundError:
+                return False
+
+        base = os.path.join(self.near_index_dir, sub)
+        if has_parquet(base):
+            return base
+        for cand in (base + "__compact", base + "__old"):
+            if has_parquet(cand):
+                try:
+                    os.rename(cand, base)
+                    return base
+                except OSError:
+                    return cand
         return None
+
+    def _read_index(self, sub: str) -> DataFrame | None:
+        path = self._index_dir(sub)
+        return self.spark.read.parquet(path) if path is not None else None
 
     def _read_index_docs(self) -> DataFrame | None:
         """The stored-representative table ``(conv_id, shingles,
@@ -208,11 +231,8 @@ class IncrementalDedup:
         that received new-format appends on top of legacy files is MIXED —
         mergeSchema surfaces both columns and each row converts by which
         one it carries."""
-        path = os.path.join(self.near_index_dir, "docs")
-        try:
-            if not any(f.endswith(".parquet") for f in os.listdir(path)):
-                return None
-        except FileNotFoundError:
+        path = self._index_dir("docs")
+        if path is None:
             return None
         idx = self.spark.read.option("mergeSchema", "true").parquet(path)
         if "doc" not in idx.columns:
@@ -393,8 +413,12 @@ class IncrementalDedup:
         3. a legacy raw-text index is persistently migrated to the
            ``shingles`` schema as a side effect.
 
-        Both tables write to temp dirs first, then swap — a crash leaves
-        either the old or the new index, never a torn one. Returns
+        Both tables write to temp dirs first, then swap (live dir renamed
+        aside before the promote). The two renames are not one atomic op,
+        but every crash window leaves a complete index on disk under one of
+        the candidate names (live, ``__old``, or fully-written
+        ``__compact``) and the index readers fall back through all three —
+        stored representatives are never silently lost. Returns
         ``{"docs_before", "docs_after", "bands_before", "bands_after"}``
         row counts (None when no index exists)."""
         import shutil
@@ -425,9 +449,22 @@ class IncrementalDedup:
         bands.write.mode("overwrite").parquet(bands_tmp)
         n_docs = self.spark.read.parquet(docs_tmp).count()
         n_bands = self.spark.read.parquet(bands_tmp).count()
+        # swap: move the LIVE dir aside first, then promote the compacted
+        # one, then delete the old — a crash at any point leaves either the
+        # live dir, the __old dir, or the fully-built __compact dir on disk,
+        # and _index_dir falls back through exactly those candidates, so no
+        # crash window silently disables the probe (a plain rmtree+rename
+        # had a no-dir-at-all window: stored reps lost, recall hole).
+        # docs swaps before bands: mixed generations are safe in both orders
+        # (bands are derived; dangling/missing band rows only ever reference
+        # reps whose shingle-equivalent kept rep still has band rows).
         for tmp, dst in ((docs_tmp, docs_dir), (bands_tmp, bands_dir)):
-            shutil.rmtree(dst, ignore_errors=True)
+            old = dst + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.isdir(dst):
+                os.rename(dst, old)
             os.rename(tmp, dst)
+            shutil.rmtree(old, ignore_errors=True)
         return {
             "docs_before": docs_before,
             "docs_after": n_docs,
@@ -551,6 +588,14 @@ def assemble_stream_stateful(
     State size is O(turns of in-flight conversations) — bounded by the
     timeout horizon, not the stream length. Output schema and assembly
     semantics are identical to the batch assembler (tested equal).
+
+    CHECKPOINT COMPATIBILITY: the state struct is ``(idxs, texts,
+    max_ts)``; releases before max_ts was added stored 2 fields, and
+    Spark's state-schema compatibility check rejects a resume from such a
+    checkpoint. Discard the old checkpoint dir (or point the stream at a
+    fresh one, e.g. ``checkpoint_v2``) and reprocess the input — the dedup
+    tier's anti-join replay makes the reprocessing idempotent. (The near
+    INDEX migrates transparently; the in-flight assembly STATE cannot.)
     """
     import pandas as pd
 

@@ -398,3 +398,10 @@ def test_multimodal_resize_and_pool_plumbing(spark):
         feats.localCheckpoint(eager=True)
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "MapInPandas" not in plan
+
+    # empty feature vector pools to an EMPTY array, not [null, null]
+    # (sequence(0, -1) descends in Spark; the guard diverts it)
+    empty = spark.createDataFrame(
+        [("e", [])], "media_id string, features array<float>"
+    )
+    assert avg_pool_features(empty).collect()[0]["pooled"] == []

@@ -471,6 +471,37 @@ def test_compact_index_shrinks_and_preserves_probe(spark, near_dirs):
     assert got["c1"] == "a1", got
 
 
+def test_compact_crash_windows_never_lose_index(spark, near_dirs):
+    """A crash between compact_index's two renames must not lose stored
+    representatives: whichever surviving dir holds the index (``__old``
+    aside, or a fully-written ``__compact``) is found AND promoted back to
+    the live name, so the very next probe batch still links against it
+    (an un-promoted fallback would be shadowed by that batch's append)."""
+    dedup = IncrementalDedup(
+        spark, near_dirs["clusters"], near_index_dir=near_dirs["nearidx"]
+    )
+    dedup.process_batch(_turns(spark, [("a1", 0, "user", _doc(60), "", None)]), 0)
+    docs_dir = os.path.join(near_dirs["nearidx"], "docs")
+
+    # window 1: live dir renamed aside, replacement not yet promoted
+    os.rename(docs_dir, docs_dir + "__old")
+    assert dedup._read_index_docs().count() == 1
+    assert os.path.isdir(docs_dir)  # repaired in place
+
+    # window 2: only the fully-written __compact build exists
+    os.rename(docs_dir, docs_dir + "__compact")
+    assert dedup._read_index_docs().count() == 1
+    assert os.path.isdir(docs_dir)
+
+    # the probe after repair still links a near-dup to the stored rep
+    dedup.process_batch(_turns(spark, [("b1", 0, "user", _doc(58), "", None)]), 1)
+    got = {
+        r["conv_id"]: r["cluster_id"]
+        for r in spark.read.parquet(near_dirs["clusters"]).collect()
+    }
+    assert got["b1"] == "a1", got
+
+
 def test_stateful_assembly_late_batch_no_rewind(spark, tmp_path):
     """A micro-batch containing ONLY late/older turns for an open
     conversation must not rewind its timeout below last-seen-turn + gap:
