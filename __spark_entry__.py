@@ -36,7 +36,7 @@ from cpdd_spark.cc import connected_components
 from cpdd_spark.config import DedupConfig
 from cpdd_spark.exact import exact_clusters, exact_pairs
 from cpdd_spark.lsh import candidate_pairs, simhash_candidates
-from cpdd_spark.multimodal import attach_payload, extract_features
+from cpdd_spark.multimodal import extract_features, text_to_image_media
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.rangejoin import interval_join
@@ -649,20 +649,42 @@ def q_event_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     column (the exact ``percentile`` agg of :func:`q_event_quantiles`
     collects per-group value arrays, which is the small-scale form only).
 
-    Error bound: GK at accuracy a guarantees RANK error <= n/a, i.e. the
-    returned p50 is an element whose true rank lies in [0.5 - 1/a, 0.5 +
-    1/a] * n — pinned in tests against the exact quantiles. Rows-only by
-    the same protocol as the other approximate queries: the sketch
-    internals (and hence which in-bound element is returned) differ across
-    engines, so a DuckDB twin would pin an implementation detail, not the
-    contract."""
-    ev = _read(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
-        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
-        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+    Output = the sketch's CONTRACT, not its internals: per group, a
+    boolean per quantile asserting the returned element's rank interval
+    intersects ``[q*n - eps_n, q*n + eps_n]`` with ``eps_n = n/accuracy +
+    2`` (GK's rank-error bound, +2 for the element-vs-interpolation
+    definitional offset at the interval edges). Raw approx VALUES differ
+    across engines (which in-bound element a sketch returns is an
+    implementation detail), but the bound booleans are engine-stable — so
+    DuckDB can oracle this as literal TRUEs over the same groups and the
+    driver's hash check becomes a hard pass/fail on the sketch contract.
+    Ranks come from one broadcast join of the 5-row approx table back to
+    events (two conditional sums per quantile: strict-less and less-or-
+    equal, bracketing ties)."""
+    ev = _read(spark, sf_dir, "events").select("event_type", "value")
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50a"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90a"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99a"),
     )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for q, col in ((0.5, "p50a"), (0.9, "p90a"), (0.99, "p99a")):
+        lt = F.sum(F.when(F.col("value") < F.col(col), 1).otherwise(0))
+        le = F.sum(F.when(F.col("value") <= F.col(col), 1).otherwise(0))
+        aggs.append(lt.alias(f"lt_{col}"))
+        aggs.append(le.alias(f"le_{col}"))
+    ranks = ev.join(F.broadcast(approx), "event_type").groupBy("event_type").agg(
+        *aggs
+    )
+    out_cols = [F.col("event_type"), F.col("n")]
+    for q, col in ((0.5, "p50a"), (0.9, "p90a"), (0.99, "p99a")):
+        eps_n = F.col("n") / F.lit(10000.0) + F.lit(2.0)
+        target = F.lit(q) * F.col("n")
+        ok = (F.col(f"lt_{col}") + 1 <= target + eps_n) & (
+            F.col(f"le_{col}") >= target - eps_n
+        )
+        out_cols.append(ok.alias(f"p{int(q * 100)}_ok"))
+    return ranks.select(*out_cols)
 
 
 ASOF_TOLERANCE_US = 3600 * 1_000_000  # 1 hour
@@ -793,8 +815,10 @@ def q_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (approximate: rows-only check; the hard
-    correctness signal lives in :func:`q_ann_recall`)."""
+    """Hyperplane-LSH bucketed ANN. Deterministic end to end (seeded
+    sketches, ties broken by neighbor_id), so the full ranked lists are
+    pinned-VALUES oracle-checked; :func:`q_ann_recall` additionally pins
+    recall@5 against the exact brute-force lists."""
     embs = _read(spark, sf_dir, "embeddings")
     return lsh_topk(embs, embs.filter("vec_id < 20"), dim=64, k=5)
 
@@ -840,8 +864,9 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN (k-means coarse quantizer, cell-probed: rows-only
-    check; the hard signal lives in :func:`q_ivf_recall`)."""
+    """IVF-Flat ANN (seeded k-means coarse quantizer, cell-probed).
+    Deterministic, so the full ranked lists are pinned-VALUES
+    oracle-checked; :func:`q_ivf_recall` additionally pins recall@5."""
     embs = _read(spark, sf_dir, "embeddings")
     return ivf_topk(embs, embs.filter("vec_id < 20"), dim=64, k=5)
 
@@ -882,16 +907,33 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload feature extraction plumbing (stubbed decode:
-    rows-only check)."""
-    media = attach_payload(_read(spark, sf_dir, "documents"), "doc_id", "text")
-    feats = extract_features(media, fake=True)
-    # array<float> crashes the driver canonicalizer's sort — emit the JSON
-    # rendering (deterministic: float32 histogram of fixed byte content)
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.to_json(F.struct(F.col("features"))).alias("features_json"),
+    """REAL image decode end to end (T13): every document's text renders
+    into a genuine PNG or 24-bit BMP container (mixed by id CRC —
+    cpdd_spark.multimodal.text_to_image_media), then extract_features
+    zlib-inflates / unfilters / de-strides the ACTUAL pixels back out and
+    histograms them. Output is the 20 lexicographically-first media rows
+    (probe-sized, same protocol as q_signatures: the decode kernel still
+    runs over the whole corpus underneath), pinned as a VALUES oracle —
+    any drift in the PNG writer, the inflate/unfilter path, the BMP
+    stride handling, or the feature kernel breaks the hash. The decoded
+    histogram column is float32; its to_json rendering is the
+    hash-compared value (arrays crash the driver canonicalizer's sort)."""
+    media = text_to_image_media(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    feats = extract_features(media)
+    return (
+        feats.orderBy("media_id")
+        .limit(20)
+        .select(
+            "media_id",
+            "n_bytes",
+            "format",
+            "width",
+            "height",
+            "channels",
+            F.to_json(F.struct(F.col("features"))).alias("features_json"),
+        )
     )
 
 
@@ -1360,6 +1402,260 @@ def oracle_sql() -> dict[str, str]:
           (15, 2), (16, 3), (17, 4), (18, 3), (19, 3)
         ) AS t(query_id, n_hits)
         """,
+        # the two approximate top-k lists are PURE FUNCTIONS of the pinned
+        # sf0.01 fixture (seeded sketches / seeded k-means, cosine ties
+        # broken by neighbor_id), so the full 100-row outputs pin as
+        # VALUES — same protocol as ann_recall/ivf_recall, upgraded from
+        # recall-only to the exact ranked lists; cosine doubles round-trip
+        # exactly through repr -> DuckDB's correctly-rounded parser
+        # REAL-decode pin: 20 media rows whose payloads are genuine
+        # PNG/BMP containers rendered from document text; the decoded
+        # pixel histograms below were produced by the pure-Python
+        # inflate/unfilter/de-stride path, so any codec or kernel drift
+        # breaks the hash (same pinned-VALUES protocol as ann_recall)
+        "multimodal_features": """
+        SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, format,
+               CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+               CAST(channels AS INT) AS channels, features_json
+        FROM (VALUES
+          ('0', 534, 'bmp', 32, 5, 3, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('1', 1302, 'bmp', 32, 13, 3, '{"features":[0.024038462,0.0,0.17067307,0.0,0.0,0.0,0.48076922,0.32451922,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('10', 726, 'bmp', 32, 7, 3, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('100', 288, 'png', 32, 15, 1, '{"features":[0.039583333,0.0,0.17083333,0.0,0.0,0.0,0.49166667,0.29791668,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('101', 200, 'png', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('102', 288, 'png', 32, 17, 1, '{"features":[0.053308822,0.0,0.16544117,0.0,0.0,0.0,0.49264705,0.28860295,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('103', 299, 'png', 32, 17, 1, '{"features":[0.03125,0.0,0.16911764,0.0,0.0,0.0,0.5202206,0.27941176,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('104', 822, 'bmp', 32, 8, 3, '{"features":[0.0390625,0.0,0.16796875,0.0,0.0,0.0,0.5234375,0.26953125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('105', 1110, 'bmp', 32, 11, 3, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('106', 342, 'bmp', 32, 3, 3, '{"features":[0.27083334,0.0,0.125,0.0,0.0,0.0,0.375,0.22916667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('107', 726, 'bmp', 32, 7, 3, '{"features":[0.05357143,0.0,0.17410715,0.0,0.0,0.0,0.48660713,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('108', 130, 'png', 32, 3, 1, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('109', 260, 'png', 32, 13, 1, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('11', 1014, 'bmp', 32, 10, 3, '{"features":[0.05,0.0,0.178125,0.0,0.0,0.0,0.478125,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('110', 246, 'bmp', 32, 2, 3, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('111', 1686, 'bmp', 32, 17, 3, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('112', 1110, 'bmp', 32, 11, 3, '{"features":[0.08522727,0.0,0.16193181,0.0,0.0,0.0,0.48863637,0.26420453,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('113', 1398, 'bmp', 32, 14, 3, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('114', 184, 'png', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('115', 162, 'png', 32, 5, 1, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
+        ) AS t(media_id, n_bytes, format, width, height, channels, features_json)
+        """,
+        "ann_lsh_topk": """
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(cosine AS DOUBLE) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (VALUES
+          (0, 1, 365, 0.3699935965460897e0),
+          (0, 2, 334, 0.3627220558741131e0),
+          (0, 3, 7, 0.29284215147436643e0),
+          (0, 4, 464, 0.2766279302075019e0),
+          (0, 5, 388, 0.2763005476699542e0),
+          (1, 1, 195, 0.32274442635213746e0),
+          (1, 2, 363, 0.263306379518924e0),
+          (1, 3, 300, 0.23682374403208167e0),
+          (1, 4, 441, 0.20693214619351274e0),
+          (1, 5, 166, 0.19298355136108689e0),
+          (2, 1, 117, 0.318142564237661e0),
+          (2, 2, 418, 0.25402949645206835e0),
+          (2, 3, 112, 0.24531081757260517e0),
+          (2, 4, 350, 0.2400686712011323e0),
+          (2, 5, 197, 0.23314916074606343e0),
+          (3, 1, 130, 0.39987234325628024e0),
+          (3, 2, 149, 0.3299339769519209e0),
+          (3, 3, 192, 0.290802917949569e0),
+          (3, 4, 437, 0.28053528594179866e0),
+          (3, 5, 349, 0.24858115688981752e0),
+          (4, 1, 482, 0.31389702932135605e0),
+          (4, 2, 280, 0.27982608680315935e0),
+          (4, 3, 249, 0.2796306459978647e0),
+          (4, 4, 89, 0.26596433888195814e0),
+          (4, 5, 47, 0.18420063553568683e0),
+          (5, 1, 316, 0.2911124479112199e0),
+          (5, 2, 487, 0.2630433732893686e0),
+          (5, 3, 453, 0.240669174024953e0),
+          (5, 4, 133, 0.23748043939647323e0),
+          (5, 5, 24, 0.22161989228098783e0),
+          (6, 1, 350, 0.3245176323402529e0),
+          (6, 2, 430, 0.32252026548071816e0),
+          (6, 3, 437, 0.28303054125250976e0),
+          (6, 4, 386, 0.2751964622632997e0),
+          (6, 5, 252, 0.255629792758746e0),
+          (7, 1, 425, 0.4075199341921925e0),
+          (7, 2, 381, 0.3451787678585175e0),
+          (7, 3, 221, 0.32467795263904164e0),
+          (7, 4, 0, 0.29284215147436643e0),
+          (7, 5, 59, 0.27023582414155406e0),
+          (8, 1, 39, 0.384696274117943e0),
+          (8, 2, 173, 0.302029603331879e0),
+          (8, 3, 207, 0.28567510379524186e0),
+          (8, 4, 494, 0.2840582444228135e0),
+          (8, 5, 44, 0.2632173469864468e0),
+          (9, 1, 489, 0.34353844645808684e0),
+          (9, 2, 107, 0.2844935027707189e0),
+          (9, 3, 259, 0.2514843841938669e0),
+          (9, 4, 302, 0.24766351404606549e0),
+          (9, 5, 319, 0.24190310903970472e0),
+          (10, 1, 44, 0.3551777649324156e0),
+          (10, 2, 11, 0.23626628023461832e0),
+          (10, 3, 409, 0.23416017732035424e0),
+          (10, 4, 16, 0.21520147297775338e0),
+          (10, 5, 312, 0.21087015988317903e0),
+          (11, 1, 277, 0.3373009084210781e0),
+          (11, 2, 77, 0.23721016526947286e0),
+          (11, 3, 10, 0.23626628023461832e0),
+          (11, 4, 6, 0.235948510345278e0),
+          (11, 5, 44, 0.22660004827031294e0),
+          (12, 1, 127, 0.3505432267263364e0),
+          (12, 2, 297, 0.3124323197340424e0),
+          (12, 3, 16, 0.26615118615100775e0),
+          (12, 4, 100, 0.26546492516061565e0),
+          (12, 5, 390, 0.24797325903401785e0),
+          (13, 1, 440, 0.35839923425899817e0),
+          (13, 2, 274, 0.2864868236816994e0),
+          (13, 3, 398, 0.2806473903074468e0),
+          (13, 4, 314, 0.2689604247327743e0),
+          (13, 5, 477, 0.2245935759041364e0),
+          (14, 1, 298, 0.31271230473296696e0),
+          (14, 2, 297, 0.24083623496499912e0),
+          (14, 3, 69, 0.233779529518171e0),
+          (14, 4, 78, 0.23080323686903564e0),
+          (14, 5, 269, 0.23024172332660947e0),
+          (15, 1, 424, 0.3633100839827929e0),
+          (15, 2, 436, 0.3240276225703262e0),
+          (15, 3, 284, 0.31615882192680006e0),
+          (15, 4, 452, 0.2688880631921913e0),
+          (15, 5, 365, 0.256993937732844e0),
+          (16, 1, 35, 0.34997142810350923e0),
+          (16, 2, 222, 0.33420123515300326e0),
+          (16, 3, 282, 0.3171809590503246e0),
+          (16, 4, 154, 0.2834732968389191e0),
+          (16, 5, 12, 0.26615118615100775e0),
+          (17, 1, 135, 0.33783733042837477e0),
+          (17, 2, 197, 0.3325159842269793e0),
+          (17, 3, 72, 0.27940614135642916e0),
+          (17, 4, 20, 0.27652804367977735e0),
+          (17, 5, 82, 0.27426644873143047e0),
+          (18, 1, 356, 0.23426229983058827e0),
+          (18, 2, 43, 0.2286220317418207e0),
+          (18, 3, 337, 0.2025185293894441e0),
+          (18, 4, 442, 0.1826680277370808e0),
+          (18, 5, 418, 0.18086759666733446e0),
+          (19, 1, 317, 0.3156683498505636e0),
+          (19, 2, 54, 0.30256158000315525e0),
+          (19, 3, 86, 0.24200740162886783e0),
+          (19, 4, 94, 0.22418997005540742e0),
+          (19, 5, 214, 0.20557199557377573e0)
+        ) AS t(query_id, rank, neighbor_id, cosine)
+        """,
+        "ann_ivf_topk": """
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               CAST(cosine AS DOUBLE) AS cosine,
+               CAST(rank AS INT) AS rank
+        FROM (VALUES
+          (0, 1, 365, 0.3699935965460897e0),
+          (0, 2, 423, 0.2969335986409863e0),
+          (0, 3, 73, 0.29543411523164853e0),
+          (0, 4, 7, 0.29284215147436643e0),
+          (0, 5, 464, 0.2766279302075019e0),
+          (1, 1, 386, 0.37148454183744223e0),
+          (1, 2, 27, 0.3482081864636984e0),
+          (1, 3, 407, 0.3270099496117245e0),
+          (1, 4, 195, 0.32274442635213746e0),
+          (1, 5, 64, 0.3163742953318501e0),
+          (2, 1, 117, 0.318142564237661e0),
+          (2, 2, 450, 0.26634395520019954e0),
+          (2, 3, 320, 0.25504277088103294e0),
+          (2, 4, 418, 0.25402949645206835e0),
+          (2, 5, 112, 0.24531081757260517e0),
+          (3, 1, 343, 0.30847165466962984e0),
+          (3, 2, 315, 0.285191968671821e0),
+          (3, 3, 437, 0.28053528594179866e0),
+          (3, 4, 463, 0.2608734389395776e0),
+          (3, 5, 349, 0.24858115688981752e0),
+          (4, 1, 114, 0.39851269358433744e0),
+          (4, 2, 496, 0.34121178056570023e0),
+          (4, 3, 408, 0.32275312529105415e0),
+          (4, 4, 482, 0.31389702932135605e0),
+          (4, 5, 280, 0.27982608680315935e0),
+          (5, 1, 157, 0.31125602484760423e0),
+          (5, 2, 359, 0.3058210572054561e0),
+          (5, 3, 487, 0.2630433732893686e0),
+          (5, 4, 451, 0.20448540607120236e0),
+          (5, 5, 25, 0.1810684228266658e0),
+          (6, 1, 395, 0.2591195532405805e0),
+          (6, 2, 371, 0.24136445905502324e0),
+          (6, 3, 403, 0.2319736644520865e0),
+          (6, 4, 78, 0.20823917013691964e0),
+          (6, 5, 105, 0.20778042003687974e0),
+          (7, 1, 425, 0.4075199341921925e0),
+          (7, 2, 334, 0.3569014029689115e0),
+          (7, 3, 381, 0.3451787678585175e0),
+          (7, 4, 445, 0.34078247055145644e0),
+          (7, 5, 221, 0.32467795263904164e0),
+          (8, 1, 39, 0.384696274117943e0),
+          (8, 2, 380, 0.3045263882069312e0),
+          (8, 3, 156, 0.16236607958294466e0),
+          (8, 4, 198, 0.13817675470004595e0),
+          (8, 5, 479, 0.13088972668629564e0),
+          (9, 1, 49, 0.38517053208433855e0),
+          (9, 2, 489, 0.34353844645808684e0),
+          (9, 3, 107, 0.2844935027707189e0),
+          (9, 4, 256, 0.2844743732954765e0),
+          (9, 5, 198, 0.2586758655955398e0),
+          (10, 1, 233, 0.36218205991708574e0),
+          (10, 2, 272, 0.36064858734257216e0),
+          (10, 3, 313, 0.313131648492288e0),
+          (10, 4, 123, 0.31304530348642273e0),
+          (10, 5, 38, 0.272263803973401e0),
+          (11, 1, 380, 0.2048784532796827e0),
+          (11, 2, 198, 0.12568782310225995e0),
+          (11, 3, 75, 0.11357674536691591e0),
+          (11, 4, 156, 0.11041482308811322e0),
+          (11, 5, 9, 0.10890082190782535e0),
+          (12, 1, 297, 0.3124323197340424e0),
+          (12, 2, 274, 0.2675268852532855e0),
+          (12, 3, 100, 0.26546492516061565e0),
+          (12, 4, 246, 0.26323090404425586e0),
+          (12, 5, 147, 0.2504514844637957e0),
+          (13, 1, 161, 0.2627057372138921e0),
+          (13, 2, 352, 0.20247479380508898e0),
+          (13, 3, 446, 0.18144990876442313e0),
+          (13, 4, 282, 0.14722430643769718e0),
+          (13, 5, 260, 0.14636517575640007e0),
+          (14, 1, 298, 0.31271230473296696e0),
+          (14, 2, 479, 0.28736055654256076e0),
+          (14, 3, 156, 0.27841926062314926e0),
+          (14, 4, 199, 0.2779504348433254e0),
+          (14, 5, 59, 0.2658026883990465e0),
+          (15, 1, 424, 0.3633100839827929e0),
+          (15, 2, 59, 0.3196098684820804e0),
+          (15, 3, 365, 0.256993937732844e0),
+          (15, 4, 110, 0.2525629537520518e0),
+          (15, 5, 396, 0.24688029278905632e0),
+          (16, 1, 402, 0.44630134007488836e0),
+          (16, 2, 421, 0.36533376274443574e0),
+          (16, 3, 222, 0.33420123515300326e0),
+          (16, 4, 124, 0.3263903313295807e0),
+          (16, 5, 282, 0.3171809590503246e0),
+          (17, 1, 135, 0.33783733042837477e0),
+          (17, 2, 115, 0.33569273713758935e0),
+          (17, 3, 197, 0.3325159842269793e0),
+          (17, 4, 416, 0.3204262707569016e0),
+          (17, 5, 70, 0.28924085099678454e0),
+          (18, 1, 120, 0.3270464148136105e0),
+          (18, 2, 112, 0.313640376891996e0),
+          (18, 3, 495, 0.28156944387197613e0),
+          (18, 4, 228, 0.2804624607539477e0),
+          (18, 5, 63, 0.24301316720594432e0),
+          (19, 1, 87, 0.40324079967454657e0),
+          (19, 2, 54, 0.30256158000315525e0),
+          (19, 3, 52, 0.29289030328971005e0),
+          (19, 4, 495, 0.2796606793436933e0),
+          (19, 5, 391, 0.2718905066783765e0)
+        ) AS t(query_id, rank, neighbor_id, cosine)
+        """,
         "embed_dup_pairs": f"""
         WITH l AS (SELECT vec_id AS a, embedding AS ea FROM embeddings),
         r AS (SELECT vec_id AS b, embedding AS eb FROM embeddings)
@@ -1393,6 +1689,16 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.9) AS p90,
                quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+        """,
+        # the GK-sketch query emits its CONTRACT (rank-bound booleans), not
+        # sketch values — engine-stable, so the oracle is the literal TRUE
+        # the bound must evaluate to over the independently-computed groups;
+        # any sketch drift past n/accuracy (+2 definitional slack) flips a
+        # boolean and fails the hash
+        "event_quantiles_approx": """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
         FROM events GROUP BY event_type
         """,
         # the tolerance branch: DuckDB's native ASOF match, then the gap

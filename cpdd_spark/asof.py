@@ -64,6 +64,17 @@ def asof_join(
     contract (DuckDB ASOF / pandas merge_asof attach the matched row
     including its NULLs). One fill, then unpack the struct's fields.
     """
+    if by is None:
+        import warnings
+
+        warnings.warn(
+            "asof_join(by=None) runs a GLOBAL ordered window: every row "
+            "lands in ONE partition on ONE executor — a silent scale-killer "
+            "on large frames. Supply `by` whenever any key exists (it "
+            "partitions the window and scales like sessionization).",
+            ResourceWarning,
+            stacklevel=2,
+        )
     payload_cols = [c for c in right.columns if c not in {on, by}]
     keys = ([by] if by else []) + [on]
 

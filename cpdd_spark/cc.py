@@ -152,6 +152,8 @@ def connected_components(
     nodes = sym.select(F.col("src").alias("conv_id")).distinct()
     labels = nodes.withColumn("label", F.col("conv_id")).localCheckpoint(eager=True)
 
+    from pyspark.sql import Observation
+
     for _ in range(max_iter):
         # (1) one-hop: adopt the min label in the closed neighborhood
         nbr_min = (
@@ -163,6 +165,7 @@ def connected_components(
             nbr_min, labels["conv_id"] == nbr_min["dst"], "left"
         ).select(
             "conv_id",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
@@ -172,22 +175,30 @@ def connected_components(
         lmap = stepped.select(
             F.col("conv_id").alias("pj_id"), F.col("label").alias("pj_label")
         )
+        # convergence detection is FUSED into the jump round: the previous
+        # label rides along as old_label and an Observation aggregates the
+        # changed-count inside the SAME job the localCheckpoint runs — the
+        # old formulation spent one extra join+count Spark job per round
+        # (O(log diameter) wasted jobs per CC call) on nothing else.
+        obs = Observation()
         jumped = (
             stepped.join(lmap, stepped["label"] == lmap["pj_id"], "left")
             .select(
                 "conv_id",
+                "old_label",
                 F.coalesce(F.col("pj_label"), F.col("label")).alias("label"),
             )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("label") != F.col("old_label"), 1).otherwise(0)
+                ).alias("n_changed"),
+            )
+            .select("conv_id", "label")
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "conv_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = jumped
-        if n_changed == 0:
+        if (obs.get["n_changed"] or 0) == 0:
             break
 
     clusters = labels.withColumnRenamed("label", "cluster_id")

@@ -58,11 +58,21 @@ SHARD_TARGET = 10_000
 
 
 def pairs_from_buckets(
-    buckets: DataFrame, key_cols: list[str], cfg: DedupConfig, eager: bool = True
+    buckets: DataFrame,
+    key_cols: list[str],
+    cfg: DedupConfig,
+    eager: bool = True,
+    id_col: str = "conv_id",
 ) -> DataFrame:
-    """Skew-aware pair generation from ``(key_cols..., conv_id)`` bucket rows.
+    """Skew-aware pair generation from ``(key_cols..., id_col)`` bucket rows.
 
-    Shared by LSH band buckets and substring fingerprint buckets. ONE
+    ``id_col`` may be any orderable type (string conv_ids, long vector
+    ids, ...): members sort, pair, and chain in the column's NATIVE order —
+    callers with numeric ids keep 8-byte shuffle keys instead of paying two
+    casts and string comparisons on the candidate path.
+
+    Shared by LSH band buckets, substring fingerprint buckets, and the
+    embedding sign-LSH buckets. ONE
     aggregation collects each bucket's (sorted) members, then pairs expand
     JVM-side with a BANDED window: member i pairs with its next
     min(cap, n-i-1) sorted neighbors. Consequences:
@@ -83,8 +93,17 @@ def pairs_from_buckets(
     # exchange; the join adds no extra shuffle of the big side
     keyed = buckets.join(sizes, key_cols)
     n_shards = F.ceil(F.col("bucket_n") / F.lit(SHARD_TARGET)).cast("int")
+    # shard salt: crc32 for string ids (pinned by the independent Python
+    # model test against zlib.crc32), xxhash64 for every other id type
+    # (crc32 only accepts string/binary; pmod absorbs the signed range)
+    id_type = dict(buckets.dtypes)[id_col]
+    salt_hash = (
+        F.crc32(F.col(id_col))
+        if id_type in ("string", "binary")
+        else F.xxhash64(F.col(id_col))
+    )
     salted = keyed.withColumn(
-        "salt", F.pmod(F.crc32(F.col("conv_id")), F.greatest(n_shards, F.lit(1)))
+        "salt", F.pmod(salt_hash, F.greatest(n_shards, F.lit(1)))
     )
     # persist: `grouped` feeds both the pair expansion and the shard-rep
     # chain; without persistence each consumer replays the two bucket-table
@@ -92,7 +111,7 @@ def pairs_from_buckets(
     # a 1-member shard of a pre-salted hot bucket still needs its chain edge.
     grouped = (
         salted.groupBy(*key_cols, "salt")
-        .agg(F.sort_array(F.collect_list("conv_id")).alias("members"))
+        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
         .persist()
     )
 
@@ -167,29 +186,61 @@ def candidate_pairs(
     )
 
 
-def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+def simhash_block_subset_size(cfg: DedupConfig, n_docs: int | None) -> int:
+    """Choose the block-subset size k for SimHash blocking: 2 (pairs, the
+    default) or 3 (triples) — escalating automatically when the corpus
+    is large enough that the DENSEST pair-key space would average more
+    than ``cfg.simhash_escalate_at`` members per bucket (buckets then
+    grow with population, not collision, and the screen degrades toward
+    quadratic). Deterministic in (cfg, n_docs): the same corpus always
+    blocks the same way, so pinned oracles below the threshold are
+    untouched by the escalation machinery."""
+    if n_docs is None:
+        return 2
+    t = cfg.simhash_hamming_max
+    m = t + 2
+    bounds = [64 * i // m for i in range(m + 1)]
+    widths = [bounds[i + 1] - bounds[i] for i in range(m)]
+    min_pair_bits = min(
+        widths[i] + widths[j] for i in range(m) for j in range(i + 1, m)
+    )
+    return 3 if n_docs / float(1 << min_pair_bits) > cfg.simhash_escalate_at else 2
+
+
+def simhash_candidates(
+    signatures: DataFrame, cfg: DedupConfig, n_docs: int | None = None
+) -> DataFrame:
     """Near-dup screen over SimHash: pairs with Hamming(a, b) <= t.
 
-    Blocking key = PAIRS of bit-blocks (Manku/Jain/Sarma, "Detecting
+    Blocking key = k-SUBSETS of bit-blocks (Manku/Jain/Sarma, "Detecting
     Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
-    fingerprint into ``m = t + 2`` blocks — a pair within Hamming t has
-    differing bits in at most t blocks, so at least 2 blocks are clean on
-    both sides, so it collides on at least one of the C(m, 2) (block_i,
-    block_j) value keys (pigeonhole). Then filter exactly on popcount —
-    the screen-then-verify discipline of matching.c:77-83.
+    fingerprint into ``m = t + 1 + k`` blocks — a pair within Hamming t
+    has differing bits in at most t blocks, so at least k blocks are
+    clean on both sides, so it collides on at least one of the C(m, k)
+    block-subset value keys (pigeonhole). Then filter exactly on
+    popcount — the screen-then-verify discipline of matching.c:77-83.
 
-    Why pairs and not the t+1 single blocks: single-block keys carry only
+    Why k=2 and not the t+1 single blocks: single-block keys carry only
     64/(t+1) bits (t=6: 9 bits -> 512 distinct values), so bucket
     populations grow LINEARLY with corpus size past ~512 docs and the
     candidate volume quadratically — measured 8M+ candidate pairs on the
     35k-doc bench corpus. Block-pair keys carry ~2x the bits (t=6: 16
     -> 65k values) for C(8,2)/C(7,1) = 4x the index rows: buckets shrink
-    ~128x and the screen stays collision-driven, not population-driven,
-    at every corpus size. (The same move scales further: key on triples
-    with m = t + 3 when even 2^16 buckets saturate.)
+    ~128x and the screen stays collision-driven at every tested corpus
+    size.
+
+    The same argument saturates again once n_docs outgrows the pair-key
+    space, so blocking AUTO-ESCALATES to k=3 (triples, ~2^24 keys at
+    t=6) past ``cfg.simhash_escalate_at`` expected members per pair
+    bucket — pass ``n_docs`` when the caller already knows the corpus
+    size (pipelines do); when omitted, blocking stays at k=2 (recall is
+    complete either way; escalation only changes the SCREEN's cost
+    curve, and any capped hot buckets shift from population-driven to
+    collision-driven).
     """
     t = cfg.simhash_hamming_max
-    m = t + 2
+    k = simhash_block_subset_size(cfg, n_docs)
+    m = t + 1 + k
     # m near-even block widths covering all 64 bits (uneven tails keep the
     # pigeonhole argument: any disjoint partition works)
     bounds = [64 * i // m for i in range(m + 1)]
@@ -201,15 +252,26 @@ def simhash_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.lit((1 << (hi - lo)) - 1)
         )
 
-    combo_vals = F.array(
-        *[
+    from itertools import combinations
+
+    if k == 2:
+        # the historical pair packing (i << 32 | j) is kept bit-for-bit:
+        # pinned oracles depend on these bucket values
+        combo_cols = [
             F.shiftleft(block(i), 32).bitwiseOR(block(j))
-            for i in range(m)
-            for j in range(i + 1, m)
+            for i, j in combinations(range(m), 2)
         ]
-    )
+    else:
+        # triples pack into 21-bit lanes (block widths are <= 64/m + 1
+        # <= 9 bits, far under a lane)
+        combo_cols = [
+            F.shiftleft(block(i), 42)
+            .bitwiseOR(F.shiftleft(block(j), 21))
+            .bitwiseOR(block(l))
+            for i, j, l in combinations(range(m), 3)
+        ]
     keyed = sigs.select(
-        "conv_id", F.posexplode(combo_vals).alias("block_id", "block_val")
+        "conv_id", F.posexplode(F.array(*combo_cols)).alias("block_id", "block_val")
     )
     cand = pairs_from_buckets(keyed, ["block_id", "block_val"], cfg)
     sa = sigs.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sim_a"))

@@ -1,13 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
-processed through Arrow-batched ``mapInPandas`` kernels — the Spark-side
-plumbing (schemas, batch shapes, partitioning) is real and tested; the
-actual codec work is STUBBED because no image/audio libraries exist in this
-container: ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake "decoder"
-(byte-histogram features) stands in so the distributed plumbing can be
-exercised end-to-end.
+processed through Arrow-batched ``mapInPandas`` kernels. The decode path
+is REAL for PNG and BMP via :mod:`cpdd_spark.codecs` (pure-Python zlib
+inflate + scanline unfilter / BI_RGB read): features are histograms of
+actual decoded pixels, resize re-encodes actual resampled rasters. JPEG
+and the video containers remain documented stubs — their entropy coders
+are a library-scale dependency absent from this environment — and raise
+``NotImplementedError`` so a mislabeled blob fails loudly instead of
+producing wrong pixels.
 """
 
 from __future__ import annotations
@@ -19,13 +20,22 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cpdd_spark.codecs import (
+    CodecError,
+    decode_bmp,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    resize_nearest,
+)
+
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
     "meta struct<width:int, height:int, mime:string>"
 )
 FEATURE_SCHEMA = (
-    "media_id string, n_bytes long, features array<float>, "
-    "entropy double, format string"
+    "media_id string, n_bytes long, format string, width int, height int, "
+    "channels int, features array<float>, entropy double"
 )
 
 # magic-byte signatures (hex prefixes) -> container format. These are REAL
@@ -43,6 +53,8 @@ MAGIC_PREFIXES = [
     ("FFFB", "mp3"),
     ("255044462D", "pdf"),
     ("OGGS".encode().hex().upper(), "ogg"),
+    # last: BM is only a 2-byte magic — every longer signature wins first
+    ("424D", "bmp"),
 ]
 
 
@@ -81,20 +93,27 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """STUB: real decode requires PIL/libjpeg, absent in this container.
+_DECODERS = {"png": decode_png, "bmp": decode_bmp}
 
-    ``fake=True`` returns a deterministic 16-bin byte histogram (normalized)
-    so the downstream plumbing has stable numbers to flow."""
-    if not fake:
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a raster payload to ``(H, W, C)`` uint8 pixels.
+
+    REAL for PNG and BMP (cpdd_spark.codecs); every other container
+    (JPEG/GIF/WebP/...) raises ``NotImplementedError`` — their entropy
+    coders need an imaging library this environment does not ship, and a
+    silent stand-in would poison every feature downstream. Malformed
+    payloads of a supported format raise :class:`CodecError` (CRC checked,
+    truncation detected)."""
+    fmt = sniff_format(payload)
+    dec = _DECODERS.get(fmt)
+    if dec is None:
         raise NotImplementedError(
-            "image decode requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
+            f"no codec for container format {fmt!r}: PNG and BMP decode "
+            "natively; JPEG and video formats require an imaging library "
+            "not present in this environment"
         )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    hist, _ = np.histogram(arr, bins=16, range=(0, 256))
-    total = max(1, len(arr))
-    return (hist / total).astype(np.float32)
+    return dec(payload)
 
 
 def byte_entropy(payload: bytes) -> float:
@@ -110,74 +129,93 @@ def byte_entropy(payload: bytes) -> float:
     return float(-(p * np.log2(p)).sum())
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """``media -> (media_id, n_bytes, features[16], entropy, format)`` via
-    mapInPandas.
+_SIGS = [(bytes.fromhex(h), f) for h, f in MAGIC_PREFIXES]
 
-    ``entropy`` and ``format`` (magic-byte sniff) are REAL byte-level
-    computations; ``features`` is the decode-dependent part — honest stub
-    behind ``decode_image`` (``fake=True`` substitutes a deterministic
-    byte histogram). Batch shape contract: one Arrow batch in, one pandas
-    frame out, features as fixed-length float32 lists — exactly the shape
-    a real model-embedding UDF would use (swap decode_image's body, keep
-    the plan).
-    """
-    sigs = [(bytes.fromhex(h), f) for h, f in MAGIC_PREFIXES]
 
-    def sniff(b: bytes) -> str:
-        for prefix, fmt in sigs:
-            if b.startswith(prefix):
-                if fmt == "riff":
-                    tag = b[8:12]
-                    return {b"WAVE": "wav", b"WEBP": "webp", b"AVI ": "avi"}.get(
-                        tag, "riff"
-                    )
-                return fmt
-        return "unknown"
+def sniff_format(b: bytes) -> str:
+    """Python twin of :func:`format_col` (magic-byte container sniff),
+    for use inside decode kernels; tested byte-identical to the JVM
+    expression."""
+    for prefix, fmt in _SIGS:
+        if b.startswith(prefix):
+            if fmt == "riff":
+                tag = b[8:12]
+                return {b"WAVE": "wav", b"WEBP": "webp", b"AVI ": "avi"}.get(
+                    tag, "riff"
+                )
+            return fmt
+    return "unknown"
+
+
+def pixel_histogram(arr: np.ndarray, bins: int = 16) -> np.ndarray:
+    """Normalized luminance-byte histogram of decoded pixels — the
+    deterministic feature vector the ANN/dedup tiers consume (swap for a
+    model embedding on a cluster with one; the plan stays identical)."""
+    flat = np.asarray(arr, dtype=np.uint8).ravel()
+    hist, _ = np.histogram(flat, bins=bins, range=(0, 256))
+    return (hist / max(1, flat.size)).astype(np.float32)
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """``media -> (media_id, n_bytes, format, width, height, channels,
+    features[16], entropy)`` via mapInPandas.
+
+    ``features`` is a histogram of REAL DECODED PIXELS for PNG/BMP
+    payloads (cpdd_spark.codecs); ``entropy`` and ``format`` are byte-level
+    computations that need no codec. Payloads with no implemented decoder
+    — or corrupt payloads of a supported format — yield NULL
+    features/dimensions (``strict=True`` raises instead: the triage mode
+    for pipelines that must not silently drop modalities). Batch shape
+    contract: one Arrow batch in, one pandas frame out, features as
+    fixed-length float32 lists — exactly the shape a model-embedding UDF
+    would use (swap the kernel body, keep the plan)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image(p, fake=fake) for p in pdf["payload"]]
+            dims: list[tuple[int | None, int | None, int | None]] = []
+            feats: list[np.ndarray | None] = []
+            for p in pdf["payload"]:
+                try:
+                    arr = decode_image(p)
+                except (NotImplementedError, CodecError):
+                    if strict:
+                        raise
+                    dims.append((None, None, None))
+                    feats.append(None)
+                else:
+                    h, w, c = arr.shape
+                    dims.append((w, h, c))
+                    feats.append(pixel_histogram(arr))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),
                     "n_bytes": pdf["payload"].str.len().astype("int64"),
+                    "format": [sniff_format(p) for p in pdf["payload"]],
+                    "width": pd.array([d[0] for d in dims], dtype="Int32"),
+                    "height": pd.array([d[1] for d in dims], dtype="Int32"),
+                    "channels": pd.array([d[2] for d in dims], dtype="Int32"),
                     "features": feats,
                     "entropy": [byte_entropy(p) for p in pdf["payload"]],
-                    "format": [sniff(p) for p in pdf["payload"]],
                 }
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
-def resize_image(payload: bytes, width: int, height: int, fake: bool = False) -> bytes:
-    """STUB: real resize requires a raster decode (PIL/libvips), absent in
-    this container. ``fake=True`` returns a deterministic stand-in: the
-    payload re-sampled to ``width*height`` bytes at a fixed stride — wrong
-    pixels, right SHAPE, so the distributed plumbing (batch contract,
-    output sizing, metadata update) is exercised for real."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires an image library not present in this "
-            "environment; pass fake=True for the deterministic stand-in"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    n = max(1, width * height)
-    if len(arr) == 0:
-        return bytes(n)
-    idx = (np.arange(n) * len(arr)) // n
-    return arr[idx].tobytes()
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL raster resize for PNG/BMP: decode (cpdd_spark.codecs),
+    nearest-neighbor resample, re-encode as PNG (the normalized output
+    container). Formats without a decoder raise — see
+    :func:`decode_image`."""
+    return encode_png(resize_nearest(decode_image(payload), width, height))
 
 
-def resize_media(
-    media: DataFrame, width: int, height: int, fake: bool = True
-) -> DataFrame:
-    """``media -> media`` with every payload resized to ``width x height``
-    and the metadata struct updated — the mapInPandas batch shape of a real
-    thumbnail/normalization pass (swap :func:`resize_image`'s body for a
-    codec, keep the plan). Metadata is recomputed JVM-side after the
-    kernel; only the byte transform crosses into Python."""
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """``media -> media`` with every payload decoded, resampled to
+    ``width x height``, and re-encoded as PNG — a real thumbnail/
+    normalization pass over genuine containers. Metadata is recomputed
+    JVM-side after the kernel; only the byte transform crosses into
+    Python (Arrow-batched)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,8 +224,7 @@ def resize_media(
                     "media_id": pdf["media_id"].to_numpy(),
                     "kind": pdf["kind"].to_numpy(),
                     "payload": [
-                        resize_image(p, width, height, fake=fake)
-                        for p in pdf["payload"]
+                        resize_image(p, width, height) for p in pdf["payload"]
                     ],
                 }
             )
@@ -202,7 +239,69 @@ def resize_media(
         F.struct(
             F.lit(width).cast("int").alias("width"),
             F.lit(height).cast("int").alias("height"),
-            F.lit("application/octet-stream").alias("mime"),
+            F.lit("image/png").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def text_to_image_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 32,
+    max_height: int = 64,
+    mixed_formats: bool = True,
+) -> DataFrame:
+    """Render each row's UTF-8 text bytes into a REAL image payload: a
+    grayscale raster of fixed ``width`` (pixels = bytes, zero-padded,
+    height capped at ``max_height``), PNG-encoded — or 24-bit BMP for
+    odd-CRC ids when ``mixed_formats`` (one table exercises both
+    decoders).
+
+    This is the sandbox's deterministic media source: downstream decode /
+    feature / resize operators run against genuine containers with CRCs,
+    scanline filters, and stride padding — not placeholder bytes. On a
+    cluster the same pipeline shape reads payloads from object storage
+    instead."""
+    import zlib as _zlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                b = str(text).encode("utf-8")
+                h = min(max_height, max(1, -(-len(b) // width)))
+                buf = np.zeros(width * h, dtype=np.uint8)
+                take = min(len(b), width * h)
+                buf[:take] = np.frombuffer(b[:take], dtype=np.uint8)
+                arr = buf.reshape(h, width)
+                use_bmp = mixed_formats and (
+                    _zlib.crc32(str(mid).encode("utf-8")) & 1
+                )
+                payloads.append(encode_bmp(arr) if use_bmp else encode_png(arr))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": ["image"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    media = base.mapInPandas(
+        kernel, schema="media_id string, kind string, payload binary"
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(width).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit("image/*").alias("mime"),
         ).alias("meta"),
     )
 

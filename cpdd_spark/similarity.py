@@ -180,12 +180,10 @@ def cosine_dup_pairs_lsh(
     """
     cfg = cfg or DedupConfig()
     sk = sign_sketches(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
-    cands = pairs_from_buckets(
-        sk.select(F.col("id").cast("string").alias("conv_id"), "t", "bucket"),
-        ["t", "bucket"],
-        cfg,
-    ).select(
-        F.col("a").cast("long").alias("ia"), F.col("b").cast("long").alias("ib")
+    # typed id path: the bucket machinery pairs/chains on the native long
+    # vector ids — no string casts, 8-byte shuffle keys end to end
+    cands = pairs_from_buckets(sk, ["t", "bucket"], cfg, id_col="id").select(
+        F.col("a").alias("ia"), F.col("b").alias("ib")
     )
     left = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("emb_a"))
     right = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("emb_b"))

@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pytest
 
+from pyspark.sql import functions as F
+
 from cpdd_spark.asof import asof_join
 
 
@@ -216,8 +218,6 @@ def test_asof_null_payload_not_spliced(spark):
     """A legitimately-NULL payload column in the matched right row must
     come through as NULL — not forward-filled from an OLDER right row
     (the matched row attaches whole, as DuckDB ASOF / merge_asof do)."""
-    from cpdd_spark.asof import asof_join
-
     left = spark.createDataFrame([("k", 10), ("k", 20)], "key string, t long")
     right = spark.createDataFrame(
         [("k", 5, 1.0, "v5"), ("k", 15, None, "v15")],
@@ -231,3 +231,28 @@ def test_asof_null_payload_not_spliced(spark):
     assert rows[10] == (1.0, "v5", 5)
     # t=20 matches the t=15 row whose price IS NULL: must stay NULL
     assert rows[20] == (None, "v15", 15)
+
+
+def test_asof_global_window_warns(spark):
+    """by=None is a documented single-partition global window — a silent
+    scale-killer on large frames, so it must WARN loudly."""
+    import warnings
+
+    left = spark.createDataFrame([(1, 10)], "id long, t long")
+    right = spark.createDataFrame([(5, 1.0)], "t long, v double")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = asof_join(left, right, on="t")
+        assert any(issubclass(w.category, ResourceWarning) for w in caught)
+    assert out.collect()[0]["right_v"] == 1.0
+
+    # keyed path stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        asof_join(
+            left.withColumn("k", F.lit(1)),
+            right.withColumn("k", F.lit(1)),
+            on="t",
+            by="k",
+        )
+        assert not any(issubclass(w.category, ResourceWarning) for w in caught)

@@ -40,3 +40,24 @@ def test_auto_small_uses_driver_result(spark):
 def test_driver_empty_edges(spark):
     got = _clusters(spark, [], "driver", vertices=["p", "q"])
     assert got == {"p": "p", "q": "q"}
+
+
+def test_distributed_long_chain_converges(spark):
+    """A long path graph forces MULTIPLE pointer-jump rounds: the fused
+    Observation-based convergence detection must stop the loop with the
+    exact min-label clusters (no early stop, no extra rounds needed)."""
+    edges = [(f"c{i:03d}", f"c{i+1:03d}") for i in range(64)]
+    got = _clusters(spark, edges, "distributed")
+    assert set(got.values()) == {"c000"}
+    assert len(got) == 65
+
+
+def test_auto_boundary_forces_distributed(spark, monkeypatch):
+    """With the driver byte-bound forced to zero, 'auto' must take the
+    distributed path and still produce the driver-identical clusters."""
+    import cpdd_spark.cc as cc
+
+    monkeypatch.setattr(cc, "DRIVER_CC_MAX_BYTES", 0)
+    edges = [("b", "c"), ("a", "b"), ("x", "y")]
+    auto = _clusters(spark, edges, "auto", vertices=["a", "b", "c", "x", "y", "s"])
+    assert auto == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "s": "s"}

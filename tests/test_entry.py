@@ -86,9 +86,31 @@ def test_event_quantiles_approx_within_rank_bound(spark):
 
     eps = 1.0 / 10000
     ev = entry_mod._read(spark, SF_DIR, "events")
+
+    # the query itself now emits the bound as engine-stable booleans (its
+    # oracle is literal TRUE) — every flag must hold
+    flags = entry_mod.q_event_quantiles_approx(spark, SF_DIR).collect()
+    assert len(flags) > 0
+    for r in flags:
+        assert r["p50_ok"] and r["p90_ok"] and r["p99_ok"], r.asDict()
+
+    # independent check of the raw sketch VALUES against exact quantiles
     approx = {
         r["event_type"]: r
-        for r in entry_mod.q_event_quantiles_approx(spark, SF_DIR).collect()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias(
+                "p50_approx"
+            ),
+            F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias(
+                "p90_approx"
+            ),
+            F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias(
+                "p99_approx"
+            ),
+        )
+        .collect()
     }
     for p, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
         for et, row in approx.items():

@@ -185,16 +185,49 @@ def test_embed_dup_pairs_plan_has_no_cartesian(spark):
 
 
 def test_multimodal_plumbing(spark, docs):
-    from cpdd_spark.multimodal import attach_payload, decode_image, extract_features, frame_sample
+    from cpdd_spark.codecs import CodecError, encode_png
+    from cpdd_spark.multimodal import (
+        attach_payload,
+        decode_image,
+        extract_features,
+        frame_sample,
+        text_to_image_media,
+    )
 
-    media = attach_payload(docs.limit(50), "doc_id", "text")
-    feats = extract_features(media, fake=True).collect()
+    # REAL containers: text renders into genuine PNG/BMP payloads whose
+    # decoded-pixel histograms come back through the real codec path
+    media = text_to_image_media(docs.limit(50), "doc_id", "text")
+    feats = extract_features(media).collect()
     assert len(feats) == 50
+    assert {r["format"] for r in feats} == {"png", "bmp"}
     for r in feats:
         assert len(r["features"]) == 16
-        assert abs(sum(r["features"]) - 1.0) < 1e-3 or r["n_bytes"] == 0
+        assert abs(sum(r["features"]) - 1.0) < 1e-3
+        assert r["width"] == 32 and r["height"] >= 1 and r["channels"] in (1, 3)
+
+    # non-image payloads (raw text bytes) sniff unknown -> NULL features
+    raw = attach_payload(docs.limit(5), "doc_id", "text")
+    for r in extract_features(raw).collect():
+        assert r["format"] == "unknown" and r["features"] is None
+
+    # undecodable format raises; corrupt PNG raises CodecError, and
+    # strict=False absorbs both to nulls (tested above) while
+    # strict=True propagates
     with pytest.raises(NotImplementedError):
-        decode_image(b"abc", fake=False)
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # jpeg magic
+    good = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    corrupt = bytearray(good)
+    corrupt[20] ^= 0xFF
+    with pytest.raises(CodecError):
+        decode_image(bytes(corrupt))
+    import pyspark.errors
+
+    bad_media = spark.createDataFrame(
+        [("x", bytes(corrupt))], "media_id string, payload binary"
+    )
+    with pytest.raises(pyspark.errors.PySparkException):
+        extract_features(bad_media, strict=True).collect()
+
     frames = frame_sample(media, every_n=64, max_frames=4)
     fr = frames.collect()
     assert all(f["frame_idx"] < 4 for f in fr)
@@ -248,6 +281,8 @@ def test_multimodal_format_sniff_and_entropy(spark):
     Shannon entropy with its analytic anchors."""
     from cpdd_spark.multimodal import byte_entropy, extract_features, format_col
 
+    from cpdd_spark.codecs import encode_bmp
+
     payloads = [
         ("jpg", b"\xff\xd8\xff\xe0" + b"\x00" * 32, "jpeg"),
         ("png", b"\x89PNG\r\n\x1a\n" + b"\x00" * 32, "png"),
@@ -257,6 +292,7 @@ def test_multimodal_format_sniff_and_entropy(spark):
         ("mp3", b"ID3\x04" + b"\x00" * 32, "mp3"),
         ("txt", b"hello plain text", "unknown"),
         ("gif", b"GIF89a" + b"\x00" * 16, "gif"),
+        ("bmp", encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8)), "bmp"),
     ]
     from pyspark.sql import functions as F
 
@@ -271,7 +307,7 @@ def test_multimodal_format_sniff_and_entropy(spark):
     # Arrow kernel path (inside extract_features)
     kern = {
         r["media_id"]: r["format"]
-        for r in extract_features(media, fake=True).collect()
+        for r in extract_features(media).collect()
     }
     for k, _, want in payloads:
         assert jvm[k] == want, (k, jvm[k])
@@ -282,7 +318,7 @@ def test_multimodal_format_sniff_and_entropy(spark):
     assert abs(byte_entropy(bytes(range(256)) * 4) - 8.0) < 1e-12
     ent = {
         r["media_id"]: r["entropy"]
-        for r in extract_features(media, fake=True).collect()
+        for r in extract_features(media).collect()
     }
     assert ent["jpg"] < 2.0  # zero-padded header: low entropy
 
@@ -359,33 +395,39 @@ def test_stratified_sample_consistent_with_late_arrivals(spark):
 
 
 def test_multimodal_resize_and_pool_plumbing(spark):
-    """resize_media: honest stub decode behind real distributed plumbing —
-    payload resized to the target byte shape, metadata updated JVM-side;
-    avg_pool_features: pure-JVM pooling matches numpy."""
+    """resize_media: REAL decode -> nearest-neighbor resample -> PNG
+    re-encode over genuine containers; avg_pool_features: pure-JVM pooling
+    matches numpy."""
     import numpy as np
 
     import pytest as _pytest
 
-    from pyspark.sql import functions as F
-
+    from cpdd_spark.codecs import decode_png
     from cpdd_spark.multimodal import (
-        attach_payload,
         avg_pool_features,
         extract_features,
         resize_image,
         resize_media,
+        text_to_image_media,
     )
 
     docs = spark.createDataFrame(
         [(1, "hello world " * 40), (2, "xyz")], "doc_id long, text string"
     )
-    media = attach_payload(docs, "doc_id", "text")
+    media = text_to_image_media(docs, "doc_id", "text")
     out = resize_media(media, width=8, height=4).collect()
     for r in out:
-        assert len(r["payload"]) == 32
+        arr = decode_png(bytes(r["payload"]))  # output is a REAL PNG
+        assert arr.shape[:2] == (4, 8)
         assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
     with _pytest.raises(NotImplementedError):
-        resize_image(b"abc", 2, 2, fake=False)
+        resize_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8, 2, 2)  # jpeg stub
+
+    # resize agrees with the standalone kernel: decode -> resample ->
+    # re-encode of the same source payload is byte-identical
+    src = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in out:
+        assert bytes(r["payload"]) == resize_image(src[r["media_id"]], 8, 4)
 
     feats = extract_features(media)
     pooled = {r["media_id"]: r["pooled"] for r in avg_pool_features(feats).collect()}

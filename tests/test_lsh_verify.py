@@ -255,3 +255,52 @@ def test_salted_expansion_matches_python_model(spark, monkeypatch, seed, n, cap,
             if r != bucket_rep:
                 expected.add((min(r, bucket_rep), max(r, bucket_rep)))
     assert got == expected
+
+
+def test_pairs_from_buckets_typed_long_ids(spark):
+    """id_col accepts non-string types: long ids sort, pair, and order
+    (a < b) NUMERICALLY — the embedding sign-LSH path keeps 8-byte ids on
+    the candidate path instead of round-tripping through strings."""
+    from cpdd_spark import lsh
+
+    buckets = spark.createDataFrame(
+        [(0, 0, 2), (0, 0, 10), (0, 0, 1), (1, 7, 10), (1, 7, 2)],
+        "band_id int, band_hash long, id long",
+    )
+    cfg = DedupConfig(max_band_bucket=50)
+    pairs = {
+        (r["a"], r["b"])
+        for r in lsh.pairs_from_buckets(
+            buckets, ["band_id", "band_hash"], cfg, id_col="id"
+        ).collect()
+    }
+    # numeric order: 1 < 2 < 10 (string order would emit (10, 2))
+    assert pairs == {(1, 2), (1, 10), (2, 10)}
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_triple_escalation_equivalent_output(spark, reps_df):
+    """Auto-escalated triple blocking (k=3) must emit the SAME final pair
+    set as pair blocking on an uncapped corpus: both schemes are
+    recall-complete by pigeonhole (>= k clean blocks within Hamming t)
+    and the output filters exactly on popcount, so only the screen's
+    cost curve changes. Also pin the size-based trigger itself."""
+    from dataclasses import replace
+
+    from cpdd_spark.lsh import simhash_block_subset_size
+
+    sigs = compute_signatures(reps_df, CFG)
+    base = {(r["a"], r["b"]) for r in simhash_candidates(sigs, CFG).collect()}
+    hot_cfg = replace(CFG, simhash_escalate_at=1e-9)  # force k=3 at any n
+    n = sigs.count()
+    assert simhash_block_subset_size(hot_cfg, n) == 3
+    assert simhash_block_subset_size(CFG, n) == 2  # fixture is far below
+    assert simhash_block_subset_size(CFG, None) == 2
+    # t=6: pair keys carry 16 bits -> escalation at 4 * 2^16 docs
+    assert simhash_block_subset_size(CFG, 260_000) == 2
+    assert simhash_block_subset_size(CFG, 270_000) == 3
+    tri = {
+        (r["a"], r["b"])
+        for r in simhash_candidates(sigs, hot_cfg, n_docs=n).collect()
+    }
+    assert tri == base
