@@ -751,9 +751,18 @@ def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P6 SimHash very-near-dup screen (hash-dependent: rows-only check)."""
+    """P6 SimHash very-near-dup screen (pinned-VALUES oracle at sf0.01).
+
+    ``n_docs`` comes from a cheap JVM count of the assembled docs (no
+    Python pass) so the block-subset auto-escalation engages on larger
+    corpora: sf0.01's ~600 docs stay on pair blocking (the pinned oracle's
+    route), while the sf0.1 bench corpus crosses the ~4.7k-doc threshold
+    and screens on triples — same final pair set, ~3x cheaper screen
+    (measured at 28k docs)."""
     docs = _assembled(spark, sf_dir)
-    return simhash_candidates(compute_signatures(docs, CFG), CFG)
+    return simhash_candidates(
+        compute_signatures(docs, CFG), CFG, n_docs=docs.count()
+    )
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,6 +78,7 @@ EXTRA = [
     "doc_split",         # deterministic hash split (map-side only)
     "pack_sequences",    # token-budget sequence packing
     "line_dedup",        # intra-doc line dedup (JVM array ops)
+    "multimodal_features",  # REAL PNG/BMP encode+decode over every doc
 ]
 
 

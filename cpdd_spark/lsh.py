@@ -188,23 +188,29 @@ def candidate_pairs(
 
 def simhash_block_subset_size(cfg: DedupConfig, n_docs: int | None) -> int:
     """Choose the block-subset size k for SimHash blocking: 2 (pairs, the
-    default) or 3 (triples) — escalating automatically when the corpus
-    is large enough that the DENSEST pair-key space would average more
-    than ``cfg.simhash_escalate_at`` members per bucket (buckets then
-    grow with population, not collision, and the screen degrades toward
-    quadratic). Deterministic in (cfg, n_docs): the same corpus always
-    blocks the same way, so pinned oracles below the threshold are
-    untouched by the escalation machinery."""
+    default) or 3 (triples) — escalating automatically once the EXPECTED
+    RANDOM-COLLISION candidate load of pair blocking exceeds
+    ``cfg.simhash_escalate_at`` candidates per document. For uniform
+    64-bit fingerprints, a document collides with ``n * sum_{i<j}
+    2^-(w_i + w_j)`` others by chance (w = block bit-widths) — candidate
+    volume, not bucket population, is what actually grows quadratically
+    (measured: at 28k docs pair blocking spent 47 s against triples'
+    15 s for the identical final pair set). Deterministic in
+    (cfg, n_docs): the same corpus always blocks the same way, so pinned
+    oracles below the threshold are untouched by the escalation
+    machinery."""
     if n_docs is None:
         return 2
     t = cfg.simhash_hamming_max
     m = t + 2
     bounds = [64 * i // m for i in range(m + 1)]
     widths = [bounds[i + 1] - bounds[i] for i in range(m)]
-    min_pair_bits = min(
-        widths[i] + widths[j] for i in range(m) for j in range(i + 1, m)
+    exp_cands_per_doc = n_docs * sum(
+        2.0 ** -(widths[i] + widths[j])
+        for i in range(m)
+        for j in range(i + 1, m)
     )
-    return 3 if n_docs / float(1 << min_pair_bits) > cfg.simhash_escalate_at else 2
+    return 3 if exp_cands_per_doc > cfg.simhash_escalate_at else 2
 
 
 def simhash_candidates(

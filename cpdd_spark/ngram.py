@@ -30,8 +30,19 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     (:func:`cpdd_spark.textfuncs.ws_tokens` — the JVM twin of the signature
     kernel's pandas ``str.split()``: same character class, empties dropped),
     so n-gram Jaccard and MinHash-verified Jaccard are the same quantity on
-    ANY document, not just single-space corpora."""
-    toks = ws_tokens(F.col(text_col))
+    ANY document, not just single-space corpora.
+
+    The tokenization is PROJECTED into its own column before the gram
+    transform references it. Inlining ``ws_tokens(text)`` directly inside
+    the ``transform`` lambda re-evaluates the regex split of the WHOLE
+    document once per gram index — Catalyst does not common-subexpression
+    a non-trivial expression into a higher-order function's loop — which
+    measured O(tokens^2 * doc_len): 500-token documents took ~0.5 s EACH
+    to shingle (470 s for 1k docs; the round-5 scale rehearsal caught it
+    as a 390x superlinear stage). With the split bound to a column first,
+    codegen evaluates it once per row and the same 1k docs shingle in
+    under a second."""
+    toks = F.col("__toks")
     # Guard sub-n-token docs: F.sequence(0, size-n) counts DOWN when
     # size < n (e.g. [0,-1]) and F.slice at a negative start throws
     # INVALID_PARAMETER_VALUE.START — so short docs must short-circuit to an
@@ -46,10 +57,25 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # Three more measured plan hazards, each its own line of defense:
+    # - filter on TOKEN count, not gram count: ``size(grams) > 0`` is
+    #   equivalent, but predicate pushdown would rebuild the WHOLE gram
+    #   construction inside the Filter node;
+    # - n_grams is computed as a scalar BELOW the explode's Generate: a
+    #   Project referencing both size(g) and explode(g) above the Generate
+    #   makes every exploded row carry the full gram array (O(doc^2)
+    #   bytes per document — measured 40x);
+    # - session.get_spark excludes InferFiltersFromGenerate, which would
+    #   re-derive the generator expression as a pushed predicate with the
+    #   tokenization re-inlined per gram (measured 27x).
     return (
-        df.select(F.col(id_col).alias("id"), grams.alias("grams"))
-        .filter(F.size(F.col("grams")) > 0)
-        .select("id", F.size("grams").alias("n_grams"), F.explode("grams").alias("shingle"))
+        df.select(
+            F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("__toks")
+        )
+        .filter(F.size(toks) >= n)
+        .select("id", grams.alias("grams"))
+        .select("id", F.size("grams").alias("n_grams"), F.col("grams"))
+        .select("id", "n_grams", F.explode("grams").alias("shingle"))
     )
 
 

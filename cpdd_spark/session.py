@@ -72,6 +72,21 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Transcripts compress extremely well; keep scan splits reasonable.
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # InferFiltersFromGenerate copies an explode's GENERATOR EXPRESSION
+        # into an inferred `size(e) > 0` predicate and pushes it to the
+        # scan. When the generator is expensive (shingling: per-gram
+        # array_join over sliced token arrays), the pushed predicate
+        # re-evaluates the whole construction per row with the
+        # tokenization re-inlined PER GRAM — measured 27x slowdown on the
+        # n-gram index build (35 s -> 1.3 s for 1M grams; the round-5
+        # scale rehearsal caught it as a 390x superlinear stage at 40k
+        # docs). Our explodes are all over computed arrays where the
+        # inferred filter prunes nothing a cheap explicit filter doesn't
+        # already (ngram filters on token count; band/sketch arrays are
+        # fixed-width non-empty), so the rule is pure loss here.
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+        ),
         "spark.sql.session.timeZone": "UTC",
         # Quieter local runs.
         "spark.ui.showConsoleProgress": "false",
