@@ -754,11 +754,11 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 SimHash very-near-dup screen (pinned-VALUES oracle at sf0.01).
 
     ``n_docs`` comes from a cheap JVM count of the assembled docs (no
-    Python pass) so the block-subset auto-escalation engages on larger
-    corpora: sf0.01's ~600 docs stay on pair blocking (the pinned oracle's
-    route), while the sf0.1 bench corpus crosses the ~4.7k-doc threshold
-    and screens on triples — same final pair set, ~3x cheaper screen
-    (measured at 28k docs)."""
+    Python pass) so the block-subset auto-escalation can engage on very
+    large corpora (~300k+ docs at t=6 — the measured pairs/triples parity
+    envelope; see cpdd_spark.lsh.simhash_block_subset_size). Every test
+    and bench scale stays on pair blocking, including the sf0.01 pinned
+    oracle's route."""
     docs = _assembled(spark, sf_dir)
     return simhash_candidates(
         compute_signatures(docs, CFG), CFG, n_docs=docs.count()

@@ -1,4 +1,4 @@
-"""Pure-Python raster codecs (PNG + BMP) on stdlib ``zlib``/``struct``.
+"""Pure-Python raster codecs (PNG, BMP, netpbm) on stdlib ``zlib``/``struct``.
 
 No imaging library ships in this environment, but PNG's format is small
 enough to implement honestly: chunk framing with CRC verification, IHDR
@@ -236,6 +236,64 @@ def encode_bmp(arr: np.ndarray) -> bytes:
         "<2sIHHI", b"BM", 14 + 40 + len(pixel_bytes), 0, 0, 14 + 40
     )
     return header + info + pixel_bytes
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary netpbm raster -> uint8 array: P5 (PGM, grayscale ->
+    ``(H, W, 1)``) and P6 (PPM, RGB -> ``(H, W, 3)``), maxval <= 255.
+    Header is ASCII tokens (magic, width, height, maxval) with ``#``
+    comments; pixel data follows the single whitespace byte after
+    maxval."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise CodecError("not a binary PGM/PPM (bad signature)")
+    ch = 1 if payload[:2] == b"P5" else 3
+    # tokenize the header: up to 4 tokens, skipping comments
+    pos, tokens = 0, []
+    while len(tokens) < 4:
+        if pos >= len(payload):
+            raise CodecError("truncated PNM header")
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise CodecError("truncated PNM comment")
+            pos = nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    pos += 1  # exactly one whitespace byte separates maxval from pixels
+    try:
+        width, height, maxval = (int(t) for t in tokens[1:4])
+    except ValueError as exc:
+        raise CodecError(f"malformed PNM header: {exc}") from None
+    if maxval <= 0 or maxval > 255:
+        raise CodecError(f"unsupported PNM maxval {maxval}")
+    if width <= 0 or height <= 0:
+        raise CodecError("unsupported PNM dimensions")
+    need = width * height * ch
+    data = payload[pos : pos + need]
+    if len(data) != need:
+        raise CodecError("truncated PNM pixel data")
+    return np.frombuffer(data, dtype=np.uint8).reshape(height, width, ch)
+
+
+def encode_pnm(arr: np.ndarray) -> bytes:
+    """``(H, W)``/``(H, W, 1)`` -> P5 (PGM); ``(H, W, 3)`` -> P6 (PPM)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise CodecError(f"cannot encode array of shape {arr.shape} as PNM")
+    h, w, ch = a.shape
+    if h == 0 or w == 0:
+        raise CodecError("zero-dimension image")
+    magic = b"P5" if ch == 1 else b"P6"
+    return magic + f"\n{w} {h}\n255\n".encode("ascii") + a.tobytes()
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:

@@ -37,9 +37,14 @@ class DedupConfig:
     simhash_hamming_max: int = 6   # near-dup screen: popcount(a^b) <= t
     # SimHash blocking auto-escalation (pairs -> triples of bit-blocks):
     # escalate when pair blocking's expected RANDOM-collision load exceeds
-    # this many candidates per document (t=6: 28 pair keys of 16 bits ->
-    # escalates past ~4.7k docs; measured 3x cheaper by 28k docs)
-    simhash_escalate_at: float = 2.0
+    # this many candidates per document. Calibrated by warm min-of-2 A/B
+    # on this host (t=6): pairs WIN at 6k docs (3.1 s vs 7.3 s) and 40k
+    # (4.8 vs 8.3) and hold parity at 280k (29.4 vs 32.7) — triples' 3x
+    # index rows cost more than pair-key random collisions everywhere
+    # measured, so the valve opens only past the measured envelope
+    # (128 cands/doc = ~300k docs at t=6), where the n^2 collision term
+    # must eventually dominate the 3x linear overhead.
+    simhash_escalate_at: float = 128.0
     # --- substring (suffix/rolling-hash) pass ---
     substring_w: int = 30       # fingerprint window, in tokens; the MIN
                                 # REPORTED run is substring_w + winnow_window

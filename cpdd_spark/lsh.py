@@ -193,12 +193,16 @@ def simhash_block_subset_size(cfg: DedupConfig, n_docs: int | None) -> int:
     ``cfg.simhash_escalate_at`` candidates per document. For uniform
     64-bit fingerprints, a document collides with ``n * sum_{i<j}
     2^-(w_i + w_j)`` others by chance (w = block bit-widths) — candidate
-    volume, not bucket population, is what actually grows quadratically
-    (measured: at 28k docs pair blocking spent 47 s against triples'
-    15 s for the identical final pair set). Deterministic in
-    (cfg, n_docs): the same corpus always blocks the same way, so pinned
-    oracles below the threshold are untouched by the escalation
-    machinery."""
+    volume, not bucket population, is the term that grows quadratically.
+    Warm min-of-2 A/B on this host (t=6) puts the crossover HIGH: pairs
+    beat triples at 6k docs (3.1 s vs 7.3 s) and 40k (4.8 vs 8.3) and
+    hold parity at 280k (29.4 vs 32.7) — triples pay 3x the index rows
+    (C(9,3)=84 vs C(8,2)=28 per doc) while the capped banded expansion
+    absorbs pair collisions cheaply — so the default threshold opens the
+    valve only past the measured envelope (~300k docs at t=6).
+    Deterministic in (cfg, n_docs): the same corpus always blocks the
+    same way, so pinned oracles below the threshold are untouched by the
+    escalation machinery."""
     if n_docs is None:
         return 2
     t = cfg.simhash_hamming_max

@@ -2,7 +2,7 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through Arrow-batched ``mapInPandas`` kernels. The decode path
-is REAL for PNG and BMP via :mod:`cpdd_spark.codecs` (pure-Python zlib
+is REAL for PNG, BMP, and binary netpbm via :mod:`cpdd_spark.codecs` (pure-Python zlib
 inflate + scanline unfilter / BI_RGB read): features are histograms of
 actual decoded pixels, resize re-encodes actual resampled rasters. JPEG
 and the video containers remain documented stubs — their entropy coders
@@ -24,6 +24,7 @@ from cpdd_spark.codecs import (
     CodecError,
     decode_bmp,
     decode_png,
+    decode_pnm,
     encode_bmp,
     encode_png,
     resize_nearest,
@@ -53,8 +54,10 @@ MAGIC_PREFIXES = [
     ("FFFB", "mp3"),
     ("255044462D", "pdf"),
     ("OGGS".encode().hex().upper(), "ogg"),
-    # last: BM is only a 2-byte magic — every longer signature wins first
+    # last: the 2-byte magics — every longer signature wins first
     ("424D", "bmp"),
+    ("5035", "pgm"),  # netpbm binary grayscale
+    ("5036", "ppm"),  # netpbm binary RGB
 ]
 
 
@@ -93,14 +96,20 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image
     )
 
 
-_DECODERS = {"png": decode_png, "bmp": decode_bmp}
+_DECODERS = {
+    "png": decode_png,
+    "bmp": decode_bmp,
+    "pgm": decode_pnm,
+    "ppm": decode_pnm,
+}
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to ``(H, W, C)`` uint8 pixels.
 
-    REAL for PNG and BMP (cpdd_spark.codecs); every other container
-    (JPEG/GIF/WebP/...) raises ``NotImplementedError`` — their entropy
+    REAL for PNG, BMP, and binary netpbm (PGM/PPM)
+    (cpdd_spark.codecs); every other container (JPEG/GIF/WebP/...)
+    raises ``NotImplementedError`` — their entropy
     coders need an imaging library this environment does not ship, and a
     silent stand-in would poison every feature downstream. Malformed
     payloads of a supported format raise :class:`CodecError` (CRC checked,

@@ -12,9 +12,13 @@ A data-linear stage lands near 10 (modulo fixed overheads, which push
 small-stage slopes BELOW 10); anything far above ~13 (1.3x data-linear)
 is flagged — the round-4 verdict named two superlinear suspects to watch:
 simhash (pair-bucket saturation) and the ngram df-cap engagement behind
-the clusters query. The simhash stage additionally runs the forced
-block-TRIPLE form at the big size so the escalation's effect is a
-measured number, not a theory.
+the clusters query. The simhash ladder runs both the AUTO form (the
+escalation valve chooses pairs/triples from n_reps) and the FORCED-pair
+form, so the valve's saving is a measured delta at every size.
+
+Round-5 provenance: this script's first run caught the n-gram shingling
+plan running 390x superlinear (1012 s at 40k convs) — see
+cpdd_spark/ngram.py's plan-hazard notes for the three fixes it bought.
 
 Usage:  python scripts/scale_rehearsal.py [--small 40000] [--runs 1]
 Prints one JSON line per (size, stage-laps) run plus a final table; paste
@@ -48,8 +52,6 @@ def ensure_fixture(num_convs: int) -> str:
 
 
 def run_stages(num_convs: int) -> dict:
-    from dataclasses import replace
-
     from pyspark.sql import functions as F
 
     from cpdd_spark.assemble import assemble_documents
@@ -117,15 +119,16 @@ def run_stages(num_convs: int) -> dict:
     ).persist()
     lap("lsh_verify", verified.count)
 
+    # auto (what the pipeline runs: the escalation valve picks pairs or
+    # triples from n_reps) plus the FORCED pair form, so the valve's
+    # saving is a measured delta at every rehearsed size
     lap(
-        "simhash",
+        "simhash_auto",
         lambda: simhash_candidates(sigs, cfg, n_docs=n_reps).count(),
     )
-    # forced block-TRIPLE escalation: the measured cost of the valve
-    tri_cfg = replace(cfg, simhash_escalate_at=1e-9)
     lap(
-        "simhash_triples",
-        lambda: simhash_candidates(sigs, tri_cfg, n_docs=n_reps).count(),
+        "simhash_pairs_forced",
+        lambda: simhash_candidates(sigs, cfg, n_docs=None).count(),
     )
 
     lap(

@@ -159,3 +159,22 @@ def test_resize_nearest_shapes_and_identity():
     assert down.shape == (3, 2, 3)
     with pytest.raises(CodecError):
         resize_nearest(a, 0, 2)
+
+
+def test_pnm_roundtrip_and_header_parsing():
+    from cpdd_spark.codecs import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(4, 7), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(gray)), gray[:, :, None])
+    rgb = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_pnm(encode_pnm(rgb)), rgb)
+    # comments + arbitrary whitespace in the header are legal netpbm
+    wild = b"P5 # magic\n# a comment line\n  7\t4 # dims\n255\n" + gray.tobytes()
+    assert np.array_equal(decode_pnm(wild), gray[:, :, None])
+    with pytest.raises(CodecError, match="truncated"):
+        decode_pnm(encode_pnm(gray)[:-3])
+    with pytest.raises(CodecError, match="maxval"):
+        decode_pnm(b"P5\n2 2\n65535\n" + bytes(8))
+    with pytest.raises(CodecError, match="signature"):
+        decode_pnm(b"P3\n2 2\n255\n0 0 0 0")  # ASCII form not implemented

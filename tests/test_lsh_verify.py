@@ -296,10 +296,11 @@ def test_simhash_triple_escalation_equivalent_output(spark, reps_df):
     assert simhash_block_subset_size(hot_cfg, n) == 3
     assert simhash_block_subset_size(CFG, n) == 2  # fixture is far below
     assert simhash_block_subset_size(CFG, None) == 2
-    # t=6: 28 pair combos x 2^-16 each -> 2 expected candidates/doc at
-    # n = 2 * 65536 / 28 ~ 4681 docs
-    assert simhash_block_subset_size(CFG, 4_500) == 2
-    assert simhash_block_subset_size(CFG, 5_000) == 3
+    # t=6: 28 pair combos x 2^-16 each -> 128 expected candidates/doc at
+    # n = 128 * 65536 / 28 ~ 300k docs (the measured pairs/triples parity
+    # envelope; pairs win everywhere below it)
+    assert simhash_block_subset_size(CFG, 290_000) == 2
+    assert simhash_block_subset_size(CFG, 310_000) == 3
     tri = {
         (r["a"], r["b"])
         for r in simhash_candidates(sigs, hot_cfg, n_docs=n).collect()
