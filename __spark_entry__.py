@@ -917,14 +917,15 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end (T13): every document's text renders
-    into a genuine PNG or 24-bit BMP container (mixed by id CRC —
+    into a genuine PNG, 24-bit BMP, or binary PGM container (rotated by id CRC —
     cpdd_spark.multimodal.text_to_image_media), then extract_features
     zlib-inflates / unfilters / de-strides the ACTUAL pixels back out and
     histograms them. Output is the 20 lexicographically-first media rows
     (probe-sized, same protocol as q_signatures: the decode kernel still
     runs over the whole corpus underneath), pinned as a VALUES oracle —
     any drift in the PNG writer, the inflate/unfilter path, the BMP
-    stride handling, or the feature kernel breaks the hash. The decoded
+    stride handling, the PGM header parse, or the feature kernel breaks
+    the hash. The decoded
     histogram column is float32; its to_json rendering is the
     hash-compared value (arrays crash the driver canonicalizer's sort)."""
     media = text_to_image_media(
@@ -1427,26 +1428,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                CAST(channels AS INT) AS channels, features_json
         FROM (VALUES
-          ('0', 534, 'bmp', 32, 5, 3, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('1', 1302, 'bmp', 32, 13, 3, '{"features":[0.024038462,0.0,0.17067307,0.0,0.0,0.0,0.48076922,0.32451922,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('10', 726, 'bmp', 32, 7, 3, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('0', 172, 'pgm', 32, 5, 1, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('1', 429, 'pgm', 32, 13, 1, '{"features":[0.024038462,0.0,0.17067307,0.0,0.0,0.0,0.48076922,0.32451922,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('10', 192, 'png', 32, 7, 1, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('100', 288, 'png', 32, 15, 1, '{"features":[0.039583333,0.0,0.17083333,0.0,0.0,0.0,0.49166667,0.29791668,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('101', 200, 'png', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('101', 268, 'pgm', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('102', 288, 'png', 32, 17, 1, '{"features":[0.053308822,0.0,0.16544117,0.0,0.0,0.0,0.49264705,0.28860295,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('103', 299, 'png', 32, 17, 1, '{"features":[0.03125,0.0,0.16911764,0.0,0.0,0.0,0.5202206,0.27941176,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('104', 822, 'bmp', 32, 8, 3, '{"features":[0.0390625,0.0,0.16796875,0.0,0.0,0.0,0.5234375,0.26953125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('105', 1110, 'bmp', 32, 11, 3, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('106', 342, 'bmp', 32, 3, 3, '{"features":[0.27083334,0.0,0.125,0.0,0.0,0.0,0.375,0.22916667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('104', 199, 'png', 32, 8, 1, '{"features":[0.0390625,0.0,0.16796875,0.0,0.0,0.0,0.5234375,0.26953125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('105', 365, 'pgm', 32, 11, 1, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('106', 129, 'png', 32, 3, 1, '{"features":[0.27083334,0.0,0.125,0.0,0.0,0.0,0.375,0.22916667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('107', 726, 'bmp', 32, 7, 3, '{"features":[0.05357143,0.0,0.17410715,0.0,0.0,0.0,0.48660713,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('108', 130, 'png', 32, 3, 1, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('109', 260, 'png', 32, 13, 1, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('11', 1014, 'bmp', 32, 10, 3, '{"features":[0.05,0.0,0.178125,0.0,0.0,0.0,0.478125,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('110', 246, 'bmp', 32, 2, 3, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('111', 1686, 'bmp', 32, 17, 3, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('108', 342, 'bmp', 32, 3, 3, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('109', 1302, 'bmp', 32, 13, 3, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('11', 226, 'png', 32, 10, 1, '{"features":[0.05,0.0,0.178125,0.0,0.0,0.0,0.478125,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('110', 76, 'pgm', 32, 2, 1, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('111', 557, 'pgm', 32, 17, 1, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('112', 1110, 'bmp', 32, 11, 3, '{"features":[0.08522727,0.0,0.16193181,0.0,0.0,0.0,0.48863637,0.26420453,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('113', 1398, 'bmp', 32, 14, 3, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('113', 461, 'pgm', 32, 14, 1, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('114', 184, 'png', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('115', 162, 'png', 32, 5, 1, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
+          ('115', 534, 'bmp', 32, 5, 3, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
         ) AS t(media_id, n_bytes, format, width, height, channels, features_json)
         """,
         "ann_lsh_topk": """

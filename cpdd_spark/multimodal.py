@@ -27,6 +27,7 @@ from cpdd_spark.codecs import (
     decode_pnm,
     encode_bmp,
     encode_png,
+    encode_pnm,
     resize_nearest,
 )
 
@@ -263,9 +264,9 @@ def text_to_image_media(
 ) -> DataFrame:
     """Render each row's UTF-8 text bytes into a REAL image payload: a
     grayscale raster of fixed ``width`` (pixels = bytes, zero-padded,
-    height capped at ``max_height``), PNG-encoded — or 24-bit BMP for
-    odd-CRC ids when ``mixed_formats`` (one table exercises both
-    decoders).
+    height capped at ``max_height``). With ``mixed_formats`` the
+    container rotates by id CRC across PNG / 24-bit BMP / binary PGM, so
+    one table exercises every implemented decoder; otherwise all PNG.
 
     This is the sandbox's deterministic media source: downstream decode /
     feature / resize operators run against genuine containers with CRCs,
@@ -284,10 +285,12 @@ def text_to_image_media(
                 take = min(len(b), width * h)
                 buf[:take] = np.frombuffer(b[:take], dtype=np.uint8)
                 arr = buf.reshape(h, width)
-                use_bmp = mixed_formats and (
-                    _zlib.crc32(str(mid).encode("utf-8")) & 1
-                )
-                payloads.append(encode_bmp(arr) if use_bmp else encode_png(arr))
+                enc = encode_png
+                if mixed_formats:
+                    enc = (encode_png, encode_bmp, encode_pnm)[
+                        _zlib.crc32(str(mid).encode("utf-8")) % 3
+                    ]
+                payloads.append(enc(arr))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

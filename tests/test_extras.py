@@ -199,7 +199,7 @@ def test_multimodal_plumbing(spark, docs):
     media = text_to_image_media(docs.limit(50), "doc_id", "text")
     feats = extract_features(media).collect()
     assert len(feats) == 50
-    assert {r["format"] for r in feats} == {"png", "bmp"}
+    assert {r["format"] for r in feats} == {"png", "bmp", "pgm"}
     for r in feats:
         assert len(r["features"]) == 16
         assert abs(sum(r["features"]) - 1.0) < 1e-3
