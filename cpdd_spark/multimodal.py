@@ -2,8 +2,8 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through Arrow-batched ``mapInPandas`` kernels. The decode path
-is REAL for PNG, BMP, and binary netpbm via :mod:`cpdd_spark.codecs` (pure-Python zlib
-inflate + scanline unfilter / BI_RGB read): features are histograms of
+is REAL for PNG, BMP, and binary netpbm via :mod:`cpdd_spark.codecs`
+(pure-Python zlib inflate + scanline unfilter / BI_RGB / P5-P6 read): features are histograms of
 actual decoded pixels, resize re-encodes actual resampled rasters. JPEG
 and the video containers remain documented stubs — their entropy coders
 are a library-scale dependency absent from this environment — and raise
@@ -119,9 +119,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     dec = _DECODERS.get(fmt)
     if dec is None:
         raise NotImplementedError(
-            f"no codec for container format {fmt!r}: PNG and BMP decode "
-            "natively; JPEG and video formats require an imaging library "
-            "not present in this environment"
+            f"no codec for container format {fmt!r}: PNG, BMP, and "
+            "binary netpbm decode natively; JPEG and video formats require "
+            "an imaging library not present in this environment"
         )
     return dec(payload)
 
@@ -170,8 +170,8 @@ def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """``media -> (media_id, n_bytes, format, width, height, channels,
     features[16], entropy)`` via mapInPandas.
 
-    ``features`` is a histogram of REAL DECODED PIXELS for PNG/BMP
-    payloads (cpdd_spark.codecs); ``entropy`` and ``format`` are byte-level
+    ``features`` is a histogram of REAL DECODED PIXELS for PNG/BMP/PGM/
+    PPM payloads (cpdd_spark.codecs); ``entropy`` and ``format`` are byte-level
     computations that need no codec. Payloads with no implemented decoder
     — or corrupt payloads of a supported format — yield NULL
     features/dimensions (``strict=True`` raises instead: the triage mode
