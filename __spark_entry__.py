@@ -753,16 +753,25 @@ def q_session_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 SimHash very-near-dup screen (pinned-VALUES oracle at sf0.01).
 
-    ``n_docs`` comes from a cheap JVM count of the assembled docs (no
-    Python pass) so the block-subset auto-escalation can engage on very
-    large corpora (~300k+ docs at t=6 — the measured pairs/triples parity
-    envelope; see cpdd_spark.lsh.simhash_block_subset_size). Every test
-    and bench scale stays on pair blocking, including the sf0.01 pinned
-    oracle's route."""
-    docs = _assembled(spark, sf_dir)
-    return simhash_candidates(
-        compute_signatures(docs, CFG), CFG, n_docs=docs.count()
-    )
+    ``n_docs`` feeds the block-subset auto-escalation (engages ~300k+
+    docs at t=6 — the measured pairs/triples parity envelope; see
+    cpdd_spark.lsh.simhash_block_subset_size). Every test and bench
+    scale stays on pair blocking, including the sf0.01 pinned oracle's
+    route.
+
+    ``docs`` is PERSISTED for the query's lifetime so assembly runs
+    exactly once: the ``count()`` that sizes the valve materializes the
+    cache the signature pass then reads — an unpersisted form ran the
+    whole groupBy+concat assembly twice (once for the count, again
+    inside the signatures job), the r5 bench regression. Mirrors cpdd's
+    compute-each-tier-input-once discipline (matching.c:100-139)."""
+    docs = _assembled(spark, sf_dir).persist()
+    n_docs = docs.count()
+    result = simhash_candidates(
+        compute_signatures(docs, CFG), CFG, n_docs=n_docs
+    ).localCheckpoint(eager=True)
+    docs.unpersist()
+    return result
 
 
 def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

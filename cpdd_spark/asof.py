@@ -72,7 +72,10 @@ def asof_join(
             "lands in ONE partition on ONE executor — a silent scale-killer "
             "on large frames. Supply `by` whenever any key exists (it "
             "partitions the window and scales like sessionization).",
-            ResourceWarning,
+            # UserWarning: visible under Python's DEFAULT warning filters —
+            # ResourceWarning is ignored by default, which would make this
+            # scale notice invisible in a plain interpreter
+            UserWarning,
             stacklevel=2,
         )
     payload_cols = [c for c in right.columns if c not in {on, by}]

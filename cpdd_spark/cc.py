@@ -81,12 +81,37 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
 # ~(id bytes + ~100 B of Python-object overhead) per edge, and the result
 # createDataFrame roughly doubles it. A fixed row cap either starves the
 # fast path (short ids) or blows the heap (long ids); the byte estimate
-# below — measured against pandas object-array footprints — keeps the
-# driver hop bounded at ~2x this figure regardless of id shape. Anything
-# larger runs the distributed rounds (tests prove both strategies
-# equivalent).
+# keeps the driver hop bounded at ~2x this figure regardless of id shape.
+#
+# This is a HEAP-SAFETY bound, NOT a latency crossover: scripts/cc_bench.py
+# measured driver union-find 2.2-2.5x FASTER than the distributed rounds
+# even at ~420 MB estimated on this host (single-node, no NIC hop — a real
+# cluster's collect pays network, but the distributed rounds pay per-round
+# shuffles, and the measured gap held at every tested size; see
+# BENCH/BASELINE.md). So the bound scales with the configured driver
+# memory when a session is available (`_driver_cc_bound`): mem/16 leaves
+# ~8x headroom over the ~2x materialization factor, floored at the
+# conservative 64 MB default for unknown/small drivers and capped at 1 GB
+# (beyond that the collect TIME, not the heap, dominates the decision and
+# deserves an explicit strategy='driver' opt-in).
 DRIVER_CC_MAX_BYTES = 64 << 20
+_DRIVER_CC_CAP_BYTES = 1 << 30
 _PY_STR_OVERHEAD = 100  # bytes per edge beyond the raw id characters
+
+_MEM_UNITS = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _driver_cc_bound(spark) -> int:
+    """Driver union-find byte bound, scaled to ``spark.driver.memory``."""
+    try:
+        mem = str(spark.conf.get("spark.driver.memory", "1g")).strip().lower()
+        if mem.endswith("b"):
+            mem = mem[:-1]
+        shift = _MEM_UNITS.get(mem[-1], 0)
+        mem_bytes = int(mem[:-1] if shift else mem) << shift
+    except Exception:
+        return DRIVER_CC_MAX_BYTES
+    return max(DRIVER_CC_MAX_BYTES, min(mem_bytes // 16, _DRIVER_CC_CAP_BYTES))
 
 
 def connected_components(
@@ -127,7 +152,7 @@ def connected_components(
         ).collect()[0]
         n_edges = sized["n"] or 0
         est_bytes = n_edges * (int(sized["avg_id_bytes"] or 0) + _PY_STR_OVERHEAD)
-        if strategy == "driver" or est_bytes <= DRIVER_CC_MAX_BYTES:
+        if strategy == "driver" or est_bytes <= _driver_cc_bound(spark):
             clusters = _driver_union_find(edges)
             edges.unpersist()
             if vertices is not None:

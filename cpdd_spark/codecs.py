@@ -117,6 +117,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
+            if len(data) == 0 or len(data) % 3:
+                raise CodecError(f"PLTE length {len(data)} not a multiple of 3")
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
@@ -137,13 +139,22 @@ def decode_png(payload: bytes) -> np.ndarray:
     if width == 0 or height == 0:
         raise CodecError("zero-dimension image")
     ch = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # malformed-but-CRC-valid payloads (e.g. an empty IDAT stream with a
+    # correct chunk CRC) must surface as CodecError, not zlib.error —
+    # extract_features(strict=False) absorbs only CodecError into NULL
+    # features; anything else fails the whole Spark task
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise CodecError(f"corrupt IDAT stream: {e}") from e
     stride = width * ch
     flat = _unfilter(raw, height, stride, ch)
     arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise CodecError("palette image without PLTE")
+        if int(arr[:, :, 0].max(initial=0)) >= len(palette):
+            raise CodecError("palette index out of range")
         arr = palette[arr[:, :, 0]]
     return arr
 

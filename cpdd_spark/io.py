@@ -120,8 +120,36 @@ class TableIO:
 
     @staticmethod
     def _has_part_files(path: str) -> bool:
-        for root, _dirs, files in os.walk(path):
+        """True if a committed part file exists under ``path``.
+
+        The walk only works on a LOCAL path; for a remote warehouse
+        (hdfs://, s3a://, ...) ``os.walk`` yields nothing, which would
+        read as "empty" and trigger a destructive unpartitioned rewrite
+        of a perfectly good table. A remote path therefore answers
+        through the JVM Hadoop FileSystem instead — same question, same
+        cost class (one directory listing), no local-FS assumption."""
+        if "://" in path and not path.startswith("file://"):
+            return TableIO._has_part_files_hadoop(path)
+        local = path[len("file://") :] if path.startswith("file://") else path
+        for root, _dirs, files in os.walk(local):
             if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    @staticmethod
+    def _has_part_files_hadoop(path: str) -> bool:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return False
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
                 return True
         return False
 

@@ -224,11 +224,14 @@ def simhash_candidates(
 
     Blocking key = k-SUBSETS of bit-blocks (Manku/Jain/Sarma, "Detecting
     Near-Duplicates for Web Crawling", WWW'07 §3): split the 64-bit
-    fingerprint into ``m = t + 1 + k`` blocks — a pair within Hamming t
-    has differing bits in at most t blocks, so at least k blocks are
-    clean on both sides, so it collides on at least one of the C(m, k)
-    block-subset value keys (pigeonhole). Then filter exactly on
-    popcount — the screen-then-verify discipline of matching.c:77-83.
+    fingerprint into ``m = t + k`` blocks — a pair within Hamming t
+    has differing bits in at most t blocks, so at least ``m - t = k``
+    blocks are clean on both sides, so it collides on at least one of
+    the C(m, k) block-subset value keys (pigeonhole; m = t + k is the
+    minimal block count that guarantees a full clean k-subset, and the
+    fewest blocks means the WIDEST keys for a fixed 64 bits). Then
+    filter exactly on popcount — the screen-then-verify discipline of
+    matching.c:77-83.
 
     Why k=2 and not the t+1 single blocks: single-block keys carry only
     64/(t+1) bits (t=6: 9 bits -> 512 distinct values), so bucket
@@ -240,7 +243,7 @@ def simhash_candidates(
     size.
 
     The same argument saturates again once n_docs outgrows the pair-key
-    space, so blocking AUTO-ESCALATES to k=3 (triples, ~2^24 keys at
+    space, so blocking AUTO-ESCALATES to k=3 (triples, ~2^22 keys at
     t=6) past ``cfg.simhash_escalate_at`` expected members per pair
     bucket — pass ``n_docs`` when the caller already knows the corpus
     size (pipelines do); when omitted, blocking stays at k=2 (recall is
@@ -250,7 +253,7 @@ def simhash_candidates(
     """
     t = cfg.simhash_hamming_max
     k = simhash_block_subset_size(cfg, n_docs)
-    m = t + 1 + k
+    m = t + k
     # m near-even block widths covering all 64 bits (uneven tails keep the
     # pigeonhole argument: any disjoint partition works)
     bounds = [64 * i // m for i in range(m + 1)]
@@ -265,8 +268,10 @@ def simhash_candidates(
     from itertools import combinations
 
     if k == 2:
-        # the historical pair packing (i << 32 | j) is kept bit-for-bit:
-        # pinned oracles depend on these bucket values
+        # pair packing (i << 32 | j): each block is <= 8 bits at m = 8,
+        # far under a 32-bit lane. Bucket values are screen-internal —
+        # the exact popcount filter makes the FINAL pairs independent of
+        # the packing, which is what the pinned oracles check.
         combo_cols = [
             F.shiftleft(block(i), 32).bitwiseOR(block(j))
             for i, j in combinations(range(m), 2)

@@ -346,7 +346,14 @@ def avg_pool_features(features: DataFrame, factor: int = 4) -> DataFrame:
 def frame_sample(media: DataFrame, every_n: int = 1024, max_frames: int = 8) -> DataFrame:
     """Deterministic 'frame sampling': slice the payload at fixed strides —
     the plumbing twin of video frame extraction (binary slicing, explode,
-    per-frame rows) with no codec dependency."""
+    per-frame rows) with no codec dependency.
+
+    ``frame`` is BINARY — the payload is sliced as bytes. An earlier form
+    cast the payload to STRING before slicing, which replaced every
+    non-UTF-8 byte with U+FFFD and silently garbled real media payloads
+    (all shipped codecs emit non-UTF-8 bytes); ``substring`` slices
+    BinaryType natively, so the sampled frames are the payload's actual
+    bytes."""
     idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
     return (
         media.select(
@@ -356,7 +363,7 @@ def frame_sample(media: DataFrame, every_n: int = 1024, max_frames: int = 8) -> 
                     F.transform(
                         idx,
                         lambda i: F.substring(
-                            F.col("payload").cast("string"), i * every_n + 1, 64
+                            F.col("payload"), i * every_n + 1, F.lit(64)
                         ),
                     ),
                     lambda s: F.length(s) > 0,

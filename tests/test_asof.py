@@ -235,15 +235,24 @@ def test_asof_null_payload_not_spliced(spark):
 
 def test_asof_global_window_warns(spark):
     """by=None is a documented single-partition global window — a silent
-    scale-killer on large frames, so it must WARN loudly."""
+    scale-killer on large frames, so it must WARN loudly, and with a
+    category Python's DEFAULT filters actually display (UserWarning;
+    ResourceWarning is suppressed by default, which would make the
+    notice invisible outside test harnesses)."""
     import warnings
 
     left = spark.createDataFrame([(1, 10)], "id long, t long")
     right = spark.createDataFrame([(5, 1.0)], "t long, v double")
     with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
+        # default filters, NOT simplefilter("always"): proves the warning
+        # is visible to a plain interpreter
+        warnings.resetwarnings()
         out = asof_join(left, right, on="t")
-        assert any(issubclass(w.category, ResourceWarning) for w in caught)
+        assert any(
+            issubclass(w.category, UserWarning)
+            and "GLOBAL ordered window" in str(w.message)
+            for w in caught
+        )
     assert out.collect()[0]["right_v"] == 1.0
 
     # keyed path stays silent
@@ -255,4 +264,4 @@ def test_asof_global_window_warns(spark):
             on="t",
             by="k",
         )
-        assert not any(issubclass(w.category, ResourceWarning) for w in caught)
+        assert not any("GLOBAL ordered window" in str(w.message) for w in caught)

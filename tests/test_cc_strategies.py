@@ -57,7 +57,7 @@ def test_auto_boundary_forces_distributed(spark, monkeypatch):
     distributed path and still produce the driver-identical clusters."""
     import cpdd_spark.cc as cc
 
-    monkeypatch.setattr(cc, "DRIVER_CC_MAX_BYTES", 0)
+    monkeypatch.setattr(cc, "_driver_cc_bound", lambda spark: 0)
     edges = [("b", "c"), ("a", "b"), ("x", "y")]
     auto = _clusters(spark, edges, "auto", vertices=["a", "b", "c", "x", "y", "s"])
     assert auto == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "s": "s"}

@@ -123,6 +123,37 @@ def test_png_corruption_detected():
         decode_png(good[:-20])  # cuts into the IDAT chunk body/CRC
 
 
+def test_png_malformed_but_crc_valid_raises_codec_error():
+    """Every chunk CRC can be VALID while the payload is still garbage —
+    those must surface as CodecError (the only class
+    extract_features(strict=False) absorbs into NULL features), never as
+    a leaked zlib.error / ValueError / IndexError that would fail the
+    whole Spark task."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_gray = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+
+    # (1) empty IDAT stream: zlib.decompress(b"") raises zlib.error
+    with pytest.raises(CodecError, match="IDAT"):
+        decode_png(sig + ihdr_gray + _chunk(b"IDAT", b"") + _chunk(b"IEND", b""))
+
+    # (2) non-deflate IDAT bytes: also zlib.error underneath
+    with pytest.raises(CodecError, match="IDAT"):
+        decode_png(
+            sig + ihdr_gray + _chunk(b"IDAT", b"\xff\xff\xff\xff") + _chunk(b"IEND", b"")
+        )
+
+    ihdr_pal = _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+    idat = _chunk(b"IDAT", zlib.compress(b"\x00\x00\x03"))  # indices 0, 3
+
+    # (3) PLTE length not a multiple of 3: reshape would ValueError
+    with pytest.raises(CodecError, match="PLTE"):
+        decode_png(sig + ihdr_pal + _chunk(b"PLTE", b"\x01\x02\x03\x04") + idat + _chunk(b"IEND", b""))
+
+    # (4) palette index beyond the palette: lookup would IndexError
+    with pytest.raises(CodecError, match="palette index"):
+        decode_png(sig + ihdr_pal + _chunk(b"PLTE", b"\x01\x02\x03" * 2) + idat + _chunk(b"IEND", b""))
+
+
 def test_png_unsupported_shapes_rejected():
     good = encode_png(np.zeros((2, 2), dtype=np.uint8))
     # rewrite IHDR with bit depth 16

@@ -232,6 +232,16 @@ def test_multimodal_plumbing(spark, docs):
     fr = frames.collect()
     assert all(f["frame_idx"] < 4 for f in fr)
 
+    # frames must be the payload's ACTUAL bytes (a binary->string cast
+    # would mangle every non-UTF-8 byte to U+FFFD): check byte-for-byte
+    # against Python slicing on real PNG payloads, which are guaranteed
+    # non-UTF-8 (zlib streams)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert fr, "no frames sampled"
+    for f in fr:
+        expect = payloads[f["media_id"]][f["frame_idx"] * 64 : f["frame_idx"] * 64 + 64]
+        assert bytes(f["frame"]) == expect
+
 
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF-Flat on planted near-duplicates (cosine ~0.99): base vectors
