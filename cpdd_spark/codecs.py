@@ -49,9 +49,13 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
-    """Reverse PNG scanline filtering. ``stride`` = bytes per row (without
-    the filter byte), ``bpp`` = bytes per complete pixel."""
+def _unfilter_scalar(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
+    """Reverse PNG scanline filtering, byte-at-a-time — the direct
+    transliteration of the PNG spec's filter recurrences. Kept as the
+    executable reference the vectorized :func:`_unfilter` is
+    property-tested against (tests/test_codecs.py); not on the decode
+    path. ``stride`` = bytes per row (without the filter byte), ``bpp`` =
+    bytes per complete pixel."""
     if len(raw) < height * (stride + 1):
         raise CodecError("IDAT too short for image dimensions")
     out = bytearray(height * stride)
@@ -88,6 +92,97 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> bytearray:
         else:
             raise CodecError(f"unknown PNG filter type {ftype}")
     return out
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering, vectorized with numpy.
+
+    Per-byte interpreted Python was the decode kernel's dominating cost
+    on real rasters (a 4K RGBA frame is 33 MB). The recurrences
+    vectorize at three granularities — all mod-256, which uint8
+    arithmetic gives for free:
+
+    - filter 0 (None): whole-row copy;
+    - filter 1 (Sub): ``out[x] = line[x] + out[x - bpp]`` is a plain
+      prefix sum per byte lane -> one ``np.cumsum(dtype=uint8)`` over the
+      row reshaped to ``(width, bpp)``;
+    - filter 2 (Up): whole-row uint8 add against the previous row;
+    - filters 3 (Average) / 4 (Paeth): the left tap makes the recurrence
+      inherently sequential in x. A numpy one-call-per-pixel-column loop
+      was MEASURED SLOWER than per-byte Python at bpp <= 4 (~1 us of
+      numpy dispatch per op never amortizes over a <= 4-lane vector), so
+      these rows run an optimized scalar loop instead: predictor inlined
+      (no per-byte function call), Python-list rows (C-speed
+      tolist/bytes conversion at the row boundary), and the Paeth
+      distances reduced to two subtractions via p-a = b-c, p-b = a-c.
+
+    Returns the unfiltered bytes as a flat uint8 array (C-contiguous,
+    ``height * stride``)."""
+    if len(raw) < height * (stride + 1):
+        raise CodecError("IDAT too short for image dimensions")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1))
+    rows = rows.reshape(height, stride + 1)
+    ftypes = rows[:, 0]
+    if int(ftypes.max(initial=0)) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise CodecError(f"unknown PNG filter type {bad}")
+    # a strided [:, 1:] view defeats numpy's contiguous fast paths (memcpy /
+    # SIMD add) — measured 200x slower row ops; one up-front copy fixes it
+    lines = np.ascontiguousarray(rows[:, 1:])
+    out = np.empty((height, stride), dtype=np.uint8)
+    # stride is width*bpp for every supported color type, so the lane
+    # reshape is exact
+    width = stride // bpp
+    for y in range(height):
+        ftype = int(ftypes[y])
+        line = lines[y]
+        prev = out[y - 1] if y > 0 else None
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 1:
+            np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.uint8,
+                      out=out[y].reshape(width, bpp))
+        elif ftype == 2:
+            if prev is None:
+                out[y] = line
+            else:
+                np.add(line, prev, out=out[y])
+        elif ftype == 3:  # Average
+            ln = line.tolist()
+            up = prev.tolist() if prev is not None else [0] * stride
+            cur = [0] * stride
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (ln[i] + ((left + up[i]) >> 1)) & 0xFF
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+        else:  # Paeth
+            ln = line.tolist()
+            up = prev.tolist() if prev is not None else [0] * stride
+            cur = [0] * stride
+            for i in range(stride):
+                if i >= bpp:
+                    a = cur[i - bpp]
+                    c = up[i - bpp]
+                else:
+                    a = c = 0
+                b = up[i]
+                # p = a + b - c, so p-a = b-c and p-b = a-c: the three
+                # predictor distances need only two subtractions
+                db = b - c
+                da = a - c
+                pa = db if db >= 0 else -db
+                pb = da if da >= 0 else -da
+                s = da + db
+                pc = s if s >= 0 else -s
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[i] = (ln[i] + pred) & 0xFF
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+    return out.reshape(-1)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -148,8 +243,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     except zlib.error as e:
         raise CodecError(f"corrupt IDAT stream: {e}") from e
     stride = width * ch
-    flat = _unfilter(raw, height, stride, ch)
-    arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, ch)
+    arr = _unfilter(raw, height, stride, ch).reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise CodecError("palette image without PLTE")

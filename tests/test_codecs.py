@@ -96,6 +96,38 @@ def test_png_all_filter_types_unfilter():
     assert np.array_equal(decode_png(png), img)
 
 
+def test_unfilter_vectorized_matches_scalar_reference():
+    """Property test: the numpy unfilter must produce byte-identical
+    output to the scalar spec transliteration on random filtered streams
+    — every filter type x every supported bpp x degenerate shapes
+    (1-pixel rows, 1-row images, width < 2 where the left/upper-left
+    taps vanish)."""
+    from cpdd_spark.codecs import _unfilter, _unfilter_scalar
+
+    rng = np.random.default_rng(21)
+    shapes = [(1, 1), (1, 7), (5, 1), (4, 6), (9, 3), (16, 16)]
+    for bpp in (1, 2, 3, 4):
+        for h, w in shapes:
+            stride = w * bpp
+            # random filter type per row, random filtered bytes: any
+            # byte stream is a valid filtered stream (filters are
+            # bijections over rows), so this covers the full input space
+            raw = bytearray()
+            for _ in range(h):
+                raw.append(int(rng.integers(0, 5)))
+                raw.extend(rng.integers(0, 256, size=stride, dtype=np.uint8).tobytes())
+            got = _unfilter(bytes(raw), h, stride, bpp)
+            ref = _unfilter_scalar(bytes(raw), h, stride, bpp)
+            assert bytes(got) == bytes(ref), (bpp, h, w)
+
+    # both reject a bad filter type and a short stream identically
+    for fn in (_unfilter, _unfilter_scalar):
+        with pytest.raises(CodecError, match="filter type"):
+            fn(b"\x05\x00\x00", 1, 2, 1)
+        with pytest.raises(CodecError, match="too short"):
+            fn(b"\x00\x00", 2, 2, 1)
+
+
 def test_png_palette_decode():
     rng = np.random.default_rng(10)
     pal = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
