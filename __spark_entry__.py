@@ -309,6 +309,41 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters
 
 
+def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AT-SCALE flagship: full dedup clustering with near edges from
+    the production MinHash+LSH route (banded candidates over exact-tier
+    representatives, pure-JVM set verify) instead of q_clusters's
+    exhaustive inverted-index generator — exactly the tier cascade
+    DedupPipeline.run ships (pipeline.py:132), here as a benched,
+    oracle-checked query.
+
+    Same oracle as ``clusters``: on every shipped correctness corpus the
+    LSH route's verified pairs connect the identical components (banded
+    recall is 1.0 there — tests/test_entry.py pins cluster equality
+    against q_clusters), so the DuckDB recursive-reachability SQL is an
+    exact oracle for this route too. The fuzzy tier runs over exact-rep
+    docs only; exact edges splice duplicate members back, which preserves
+    connectivity because an exact member's shingle set is its rep's
+    (reference analogue: the tiered cascade computes the same clusters
+    cheaper, README:46-73)."""
+    docs = _assembled(spark, sf_dir).persist()
+    ec = exact_clusters(docs)
+    reps = docs.join(
+        ec.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
+        "conv_id",
+    )
+    sigs = compute_signatures(reps, CFG, with_sets=True)
+    verified = verify_pairs_sets(
+        candidate_pairs(sigs, CFG), sigs.select("conv_id", "shingles"), CFG
+    )
+    edges = exact_pairs(ec).unionByName(verified.select("a", "b"))
+    clusters = connected_components(
+        edges, vertices=docs.select("conv_id")
+    ).localCheckpoint(eager=True)
+    docs.unpersist()
+    return clusters
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _read(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").alias("n_tokens")
@@ -926,15 +961,18 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end (T13): every document's text renders
-    into a genuine PNG, 24-bit BMP, or binary PGM container (rotated by id CRC —
+    into a genuine PNG, 24-bit BMP, binary PGM, or baseline JPEG
+    container (rotated by id CRC —
     cpdd_spark.multimodal.text_to_image_media), then extract_features
-    zlib-inflates / unfilters / de-strides the ACTUAL pixels back out and
-    histograms them. Output is the 20 lexicographically-first media rows
-    (probe-sized, same protocol as q_signatures: the decode kernel still
-    runs over the whole corpus underneath), pinned as a VALUES oracle —
-    any drift in the PNG writer, the inflate/unfilter path, the BMP
-    stride handling, the PGM header parse, or the feature kernel breaks
-    the hash. The decoded
+    zlib-inflates / unfilters / de-strides / Huffman-decodes+IDCTs the
+    ACTUAL pixels back out and histograms them. Output is the 20
+    lexicographically-first media rows (probe-sized, same protocol as
+    q_signatures: the decode kernel still runs over the whole corpus
+    underneath), pinned as a VALUES oracle — any drift in the PNG
+    writer, the inflate/unfilter path, the BMP stride handling, the PGM
+    header parse, the JPEG entropy coder/IDCT, or the feature kernel
+    breaks the hash (the JPEG rows pin the LOSSY decoded pixels — also
+    deterministic: fixed tables, float64 matmul IDCT). The decoded
     histogram column is float32; its to_json rendering is the
     hash-compared value (arrays crash the driver canonicalizer's sort)."""
     media = text_to_image_media(
@@ -1242,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_pairs": q_ngram_pairs,
         "minhash_pairs": q_minhash_pairs,
         "clusters": q_clusters,
+        "clusters_lsh": q_clusters_lsh,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_token_count,
         "quality": q_quality,
@@ -1296,7 +1335,7 @@ _COSINE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "assemble": SQL_PRELUDE + "SELECT conv_id, n_turns, doc_len, doc FROM docs2",
         "exact_clusters": SQL_PRELUDE
         + "SELECT conv_id, doc_len, md5_hex, cluster_id, cluster_size FROM exact2",
@@ -1437,26 +1476,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                CAST(channels AS INT) AS channels, features_json
         FROM (VALUES
-          ('0', 172, 'pgm', 32, 5, 1, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('1', 429, 'pgm', 32, 13, 1, '{"features":[0.024038462,0.0,0.17067307,0.0,0.0,0.0,0.48076922,0.32451922,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('10', 192, 'png', 32, 7, 1, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('100', 288, 'png', 32, 15, 1, '{"features":[0.039583333,0.0,0.17083333,0.0,0.0,0.0,0.49166667,0.29791668,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('101', 268, 'pgm', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('102', 288, 'png', 32, 17, 1, '{"features":[0.053308822,0.0,0.16544117,0.0,0.0,0.0,0.49264705,0.28860295,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('0', 534, 'bmp', 32, 5, 3, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('1', 555, 'jpeg', 32, 13, 1, '{"features":[0.026442308,0.067307696,0.100961536,0.0,0.0,0.07451923,0.40865386,0.30769232,0.014423077,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('10', 726, 'bmp', 32, 7, 3, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('100', 493, 'pgm', 32, 15, 1, '{"features":[0.039583333,0.0,0.17083333,0.0,0.0,0.0,0.49166667,0.29791668,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('101', 200, 'png', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('102', 557, 'pgm', 32, 17, 1, '{"features":[0.053308822,0.0,0.16544117,0.0,0.0,0.0,0.49264705,0.28860295,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('103', 299, 'png', 32, 17, 1, '{"features":[0.03125,0.0,0.16911764,0.0,0.0,0.0,0.5202206,0.27941176,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('104', 199, 'png', 32, 8, 1, '{"features":[0.0390625,0.0,0.16796875,0.0,0.0,0.0,0.5234375,0.26953125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('105', 365, 'pgm', 32, 11, 1, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('106', 129, 'png', 32, 3, 1, '{"features":[0.27083334,0.0,0.125,0.0,0.0,0.0,0.375,0.22916667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('104', 439, 'jpeg', 32, 8, 1, '{"features":[0.0390625,0.06640625,0.1015625,0.0,0.0,0.09765625,0.40625,0.27734375,0.01171875,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('105', 1110, 'bmp', 32, 11, 3, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('106', 427, 'jpeg', 32, 3, 1, '{"features":[0.27083334,0.0625,0.0625,0.0,0.0,0.03125,0.33333334,0.22916667,0.010416667,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('107', 726, 'bmp', 32, 7, 3, '{"features":[0.05357143,0.0,0.17410715,0.0,0.0,0.0,0.48660713,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('108', 342, 'bmp', 32, 3, 3, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('109', 1302, 'bmp', 32, 13, 3, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('11', 226, 'png', 32, 10, 1, '{"features":[0.05,0.0,0.178125,0.0,0.0,0.0,0.478125,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('110', 76, 'pgm', 32, 2, 1, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('111', 557, 'pgm', 32, 17, 1, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('112', 1110, 'bmp', 32, 11, 3, '{"features":[0.08522727,0.0,0.16193181,0.0,0.0,0.0,0.48863637,0.26420453,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('113', 461, 'pgm', 32, 14, 1, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('114', 184, 'png', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('115', 534, 'bmp', 32, 5, 3, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
+          ('108', 130, 'png', 32, 3, 1, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('109', 429, 'pgm', 32, 13, 1, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('11', 525, 'jpeg', 32, 10, 1, '{"features":[0.05,0.084375,0.09375,0.0,0.0,0.078125,0.40625,0.275,0.0125,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('110', 423, 'jpeg', 32, 2, 1, '{"features":[0.15625,0.0625,0.09375,0.0,0.0,0.109375,0.359375,0.21875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('111', 1686, 'bmp', 32, 17, 3, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('112', 550, 'jpeg', 32, 11, 1, '{"features":[0.08522727,0.07670455,0.08522727,0.0,0.0028409092,0.07102273,0.375,0.29829547,0.0056818184,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('113', 1398, 'bmp', 32, 14, 3, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('114', 236, 'pgm', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('115', 162, 'png', 32, 5, 1, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
         ) AS t(media_id, n_bytes, format, width, height, channels, features_json)
         """,
         "ann_lsh_topk": """
@@ -2076,3 +2115,8 @@ def oracle_sql() -> dict[str, str]:
         ) AS t(conv_id, n_shingles, mh_first, mh_last, mh_xx, simhash)
         """,
     }
+    # the LSH production route computes the SAME clusters as the exhaustive
+    # inverted-index route on every shipped corpus (banded recall 1.0 there;
+    # equality pinned by tests/test_entry.py), so it shares the oracle
+    sql["clusters_lsh"] = sql["clusters"]
+    return sql

@@ -2,13 +2,13 @@
 
 Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through Arrow-batched ``mapInPandas`` kernels. The decode path
-is REAL for PNG, BMP, and binary netpbm via :mod:`cpdd_spark.codecs`
-(pure-Python zlib inflate + scanline unfilter / BI_RGB / P5-P6 read): features are histograms of
-actual decoded pixels, resize re-encodes actual resampled rasters. JPEG
-and the video containers remain documented stubs — their entropy coders
-are a library-scale dependency absent from this environment — and raise
-``NotImplementedError`` so a mislabeled blob fails loudly instead of
-producing wrong pixels.
+is REAL for PNG, BMP, binary netpbm (:mod:`cpdd_spark.codecs` —
+pure-Python zlib inflate + scanline unfilter / BI_RGB / P5-P6 read) and
+baseline JPEG (:mod:`cpdd_spark.jpeg` — from-spec Huffman + IDCT):
+features are histograms of actual decoded pixels, resize re-encodes
+actual resampled rasters. GIF/WebP and the video containers remain
+documented stubs and raise ``NotImplementedError`` so a mislabeled blob
+fails loudly instead of producing wrong pixels.
 """
 
 from __future__ import annotations
@@ -30,6 +30,7 @@ from cpdd_spark.codecs import (
     encode_pnm,
     resize_nearest,
 )
+from cpdd_spark.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
@@ -102,26 +103,28 @@ _DECODERS = {
     "bmp": decode_bmp,
     "pgm": decode_pnm,
     "ppm": decode_pnm,
+    "jpeg": decode_jpeg,
 }
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to ``(H, W, C)`` uint8 pixels.
 
-    REAL for PNG, BMP, and binary netpbm (PGM/PPM)
-    (cpdd_spark.codecs); every other container (JPEG/GIF/WebP/...)
-    raises ``NotImplementedError`` — their entropy
-    coders need an imaging library this environment does not ship, and a
-    silent stand-in would poison every feature downstream. Malformed
-    payloads of a supported format raise :class:`CodecError` (CRC checked,
-    truncation detected)."""
+    REAL for PNG, BMP, binary netpbm (PGM/PPM) (cpdd_spark.codecs) and
+    baseline-sequential JPEG (cpdd_spark.jpeg); every other container
+    (GIF/WebP/video) raises ``NotImplementedError`` — a silent stand-in
+    would poison every feature downstream. Malformed or
+    unsupported-profile payloads of a supported format raise
+    :class:`CodecError` (CRC/marker checked, truncation detected,
+    progressive JPEG refused loudly)."""
     fmt = sniff_format(payload)
     dec = _DECODERS.get(fmt)
     if dec is None:
         raise NotImplementedError(
-            f"no codec for container format {fmt!r}: PNG, BMP, and "
-            "binary netpbm decode natively; JPEG and video formats require "
-            "an imaging library not present in this environment"
+            f"no codec for container format {fmt!r}: PNG, BMP, "
+            "binary netpbm, and baseline JPEG decode natively; GIF/WebP "
+            "and video formats require an imaging library not present "
+            "in this environment"
         )
     return dec(payload)
 
@@ -265,8 +268,9 @@ def text_to_image_media(
     """Render each row's UTF-8 text bytes into a REAL image payload: a
     grayscale raster of fixed ``width`` (pixels = bytes, zero-padded,
     height capped at ``max_height``). With ``mixed_formats`` the
-    container rotates by id CRC across PNG / 24-bit BMP / binary PGM, so
-    one table exercises every implemented decoder; otherwise all PNG.
+    container rotates by id CRC across PNG / 24-bit BMP / binary PGM /
+    baseline JPEG, so one table exercises every implemented decoder
+    (including the lossy entropy-coded path); otherwise all PNG.
 
     This is the sandbox's deterministic media source: downstream decode /
     feature / resize operators run against genuine containers with CRCs,
@@ -287,8 +291,8 @@ def text_to_image_media(
                 arr = buf.reshape(h, width)
                 enc = encode_png
                 if mixed_formats:
-                    enc = (encode_png, encode_bmp, encode_pnm)[
-                        _zlib.crc32(str(mid).encode("utf-8")) % 3
+                    enc = (encode_png, encode_bmp, encode_pnm, encode_jpeg)[
+                        _zlib.crc32(str(mid).encode("utf-8")) % 4
                     ]
                 payloads.append(enc(arr))
             yield pd.DataFrame(

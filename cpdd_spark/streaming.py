@@ -90,15 +90,48 @@ class IncrementalDedup:
         clusters_dir: str,
         near_index_dir: str | None = None,
         cfg: DedupConfig | None = None,
+        cache_state: bool = True,
     ):
         self.spark = spark
         self.clusters_dir = clusters_dir
         self.near_index_dir = near_index_dir
         self.cfg = cfg or DedupConfig()
+        # Per-batch state-read optimization. The round-5 bench traced a
+        # large fixed cost per micro-batch to re-reading the clusters table
+        # and both near-index tables from parquet with mergeSchema — a
+        # footer scan of EVERY file in an ever-growing directory, repeated
+        # per table per batch. With cache_state=True each table's column
+        # set is resolved once (mergeSchema only on first contact) and
+        # remembered, so steady-state batches issue plain schema-stable
+        # reads: one directory listing, zero footer scans.
+        #
+        # DESIGN NOTE — why this is a schema cache and NOT a DataFrame
+        # cache. The obvious stronger optimization (keep each state table
+        # as a localCheckpointed DataFrame and union in the rows each batch
+        # appends, never touching the filesystem) was built and then
+        # REVERTED after profiling: Dataset.localCheckpoint STORES the
+        # origin plan's estimated statistics into the new leaf, and
+        # Catalyst's size estimator upper-bounds a join as the PRODUCT of
+        # its children's sizeInBytes — so chaining checkpoint -> join ->
+        # checkpoint across batches compounds the estimate doubly
+        # exponentially. By batch ~9 of a 20k-conv drain the driver sat in
+        # BigInteger.multiplyToomCook3 on numbers with millions of digits
+        # (199 s of driver CPU in one stats walk; jstack-verified), every
+        # broadcast decision re-paying it. Disk-backed reads keep leaf
+        # stats equal to real file sizes, which is also the only honest
+        # number at 10^12-turn scale.
+        self.cache_state = cache_state
+        self._schema_cache: dict[str, object] = {}
+
+    def _invalidate_cache(self) -> None:
+        self._schema_cache = {}
 
     def _existing(self) -> DataFrame | None:
         try:
             if any(f.endswith(".parquet") for f in os.listdir(self.clusters_dir)):
+                schema = self._schema_cache.get("clusters")
+                if schema is not None:
+                    return self.spark.read.schema(schema).parquet(self.clusters_dir)
                 # mergeSchema: a directory migrated from the md5-only layout
                 # mixes files with and without xxh64 — a plain read could
                 # pick the narrow schema and silently drop the column
@@ -107,6 +140,10 @@ class IncrementalDedup:
                 )
                 if "xxh64" not in df.columns:  # pure-legacy directory
                     df = df.withColumn("xxh64", F.lit(None).cast("long"))
+                elif self.cache_state:
+                    # full modern schema: every later batch (which only
+                    # ever appends this schema) may skip the footer scans
+                    self._schema_cache["clusters"] = df.schema
                 return df
         except FileNotFoundError:
             pass
@@ -230,12 +267,25 @@ class IncrementalDedup:
         :meth:`compact_index` makes the migration persistent. A directory
         that received new-format appends on top of legacy files is MIXED —
         mergeSchema surfaces both columns and each row converts by which
-        one it carries."""
+        one it carries.
+
+        Once the directory is seen to be pure-modern, its schema is
+        remembered (``cache_state``): every later read in this object's
+        lifetime is a plain schema-stable scan — one listing, no
+        mergeSchema footer scan of the whole growing directory per
+        micro-batch (the dominant fixed cost the r5 stream bench
+        measured). Appends only ever write the modern schema, so the
+        pinned schema cannot go stale; compact_index() resets it anyway."""
         path = self._index_dir("docs")
         if path is None:
             return None
+        schema = self._schema_cache.get("idx_docs")
+        if schema is not None:
+            return self.spark.read.schema(schema).parquet(path)
         idx = self.spark.read.option("mergeSchema", "true").parquet(path)
         if "doc" not in idx.columns:
+            if self.cache_state:
+                self._schema_cache["idx_docs"] = idx.schema
             return idx
         legacy = idx.filter(F.col("doc").isNotNull())
         migrated = shingle_sets(legacy.select("conv_id", "doc"), self.cfg).join(
@@ -465,6 +515,9 @@ class IncrementalDedup:
                 os.rename(dst, old)
             os.rename(tmp, dst)
             shutil.rmtree(old, ignore_errors=True)
+        # the on-disk tables just changed under the cross-batch cache:
+        # drop it wholesale; the next batch reloads the compacted tables
+        self._invalidate_cache()
         return {
             "docs_before": docs_before,
             "docs_after": n_docs,
@@ -472,14 +525,22 @@ class IncrementalDedup:
             "bands_after": n_bands,
         }
 
-    def start(self, input_dir: str, checkpoint_dir: str) -> StreamingQuery:
+    def start(
+        self,
+        input_dir: str,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 8,
+    ) -> StreamingQuery:
         """File-source stream -> foreachBatch incremental dedup. The
         checkpoint dir gives exactly-once batch tracking (crash-resume:
         Spark replays uncommitted batches; process_batch's anti-join makes
-        replays idempotent)."""
+        replays idempotent). ``max_files_per_trigger`` sets the batching
+        granularity: larger batches amortize the per-micro-batch fixed
+        cost (probe plans + index appends), 1 forces one batch per file
+        (the worst-case latency shape scripts/stream_bench.py measures)."""
         stream = (
             self.spark.readStream.schema(TURNS_SCHEMA)
-            .option("maxFilesPerTrigger", 8)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(input_dir)
         )
         return (

@@ -22,7 +22,7 @@ sys.path.insert(0, ".")
 
 from pyspark.sql import functions as F
 
-from cpdd_spark.cc import DRIVER_CC_MAX_BYTES, connected_components
+from cpdd_spark.cc import _driver_cc_bound, connected_components
 from cpdd_spark.session import get_spark
 
 
@@ -48,8 +48,10 @@ def main() -> None:
         "n_edges": n,
         "chain_len": chain,
         "est_bytes": est,
-        "driver_bound_bytes": DRIVER_CC_MAX_BYTES,
-        "above_bound": est > DRIVER_CC_MAX_BYTES,
+        # the effective auto-switch bound (scaled to spark.driver.memory;
+        # 64 MB floor / 1 GB cap — heap-safety, not a latency crossover)
+        "driver_bound_bytes": _driver_cc_bound(spark),
+        "above_bound": est > _driver_cc_bound(spark),
     }
     for strategy in ("driver", "distributed"):
         best = None

@@ -37,6 +37,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=20_000)
     ap.add_argument("--batches", type=int, default=10)
+    ap.add_argument(
+        "--max-files-per-trigger",
+        type=int,
+        default=1,
+        help="files per micro-batch; 1 = every file its own batch (the "
+        "documented worst-case shape — note r3-r5 records ran the "
+        "default 8, i.e. a 2-micro-batch drain for 10 files)",
+    )
     args = ap.parse_args()
 
     from cpdd_spark.fixtures import FixtureParams, generate
@@ -65,7 +73,11 @@ def main() -> None:
     )
 
     t0 = time.time()
-    q = dedup.start(watch, os.path.join(base, "ckpt"))
+    q = dedup.start(
+        watch,
+        os.path.join(base, "ckpt"),
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
     q.awaitTermination()
     drain_s = time.time() - t0
 
@@ -93,6 +105,7 @@ def main() -> None:
                 "convs": args.convs,
                 "turns": n_turns,
                 "batches": args.batches,
+                "max_files_per_trigger": args.max_files_per_trigger,
                 "drain_sec": round(drain_s, 2),
                 "turns_per_sec": round(n_turns / drain_s, 1),
                 "clusters_rows": out_rows,

@@ -145,3 +145,26 @@ def test_bench_query_keys_resolve():
     for name in bench.HEADLINE + bench.EXTRA:
         assert name in queries, name
         assert callable(queries[name])
+
+
+def test_clusters_lsh_equals_ngram_route_sf01(spark):
+    """The production LSH route (q_clusters_lsh: banded candidates over
+    exact reps + pure-JVM set verify) must produce IDENTICAL clusters to
+    the exhaustive inverted-index route (q_clusters) on the sf0.1 bench
+    corpus — the claim that licenses sharing the DuckDB oracle and the
+    at-scale flagship story (same clusters, cheaper candidates;
+    reference README:46-73 tiered-cascade discipline). Deterministic:
+    MinHash/banding are seeded, so recall on a fixed corpus is a fixed
+    fact, not a probability."""
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    a = {(r["conv_id"], r["cluster_id"]) for r in entry_mod.q_clusters(spark, sf).collect()}
+    b = {
+        (r["conv_id"], r["cluster_id"])
+        for r in entry_mod.q_clusters_lsh(spark, sf).collect()
+    }
+    assert a == b, (
+        f"routes diverge: {len(a - b)} ngram-only, {len(b - a)} lsh-only "
+        f"of {len(a)}/{len(b)} rows"
+    )

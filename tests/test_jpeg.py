@@ -1,0 +1,165 @@
+"""Baseline JPEG codec: round-trip closeness, determinism, subsampled
+decode against a hand-crafted 4:2:0 stream, and the loud-failure
+contract for unsupported profiles. No Spark needed — this pins the
+byte-level layer under cpdd_spark.multimodal's decode path, like
+test_codecs.py does for PNG/BMP/netpbm."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from cpdd_spark.codecs import CodecError
+from cpdd_spark.jpeg import (
+    HUFF_AC_LUMA,
+    HUFF_DC_LUMA,
+    _BitWriter,
+    _build_encode_table,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_roundtrip_smooth_rgb_close():
+    """JPEG is lossy; on a smooth gradient at quality 90 the round trip
+    must stay within a few code values everywhere (DCT quantization
+    error, not structural corruption)."""
+    x = np.linspace(0, 255, 48)
+    img = np.clip(
+        np.add.outer(x, x / 2)[:, :, None] + np.array([0, 30, 60])[None, None, :],
+        0,
+        255,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+
+@pytest.mark.parametrize("shape", [(8, 8), (24, 40), (13, 21), (1, 1), (9, 8)])
+def test_roundtrip_gray_odd_dims(shape):
+    """Non-multiple-of-8 dimensions exercise edge-replicated padding on
+    encode and the crop-back on decode."""
+    h, w = shape
+    g = np.clip(
+        np.add.outer(np.linspace(0, 255, h), np.linspace(0, 100, w)), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (h, w, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_quality100_noise_bounded_and_deterministic():
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    enc = encode_jpeg(noisy, quality=100)
+    a = decode_jpeg(enc)
+    b = decode_jpeg(enc)
+    assert a.tobytes() == b.tobytes()  # decode is bit-deterministic
+    assert np.abs(a.astype(int) - noisy.astype(int)).max() <= 2
+    # encode is deterministic too (fixed tables, float64 DCT)
+    assert encode_jpeg(noisy, quality=100) == enc
+
+
+def test_byte_stuffing_roundtrip():
+    """An entropy stream that emits 0xFF bytes must be stuffed with 0x00
+    and de-stuffed on read; high-entropy input at max quality reliably
+    produces such bytes across 64 random images."""
+    rng = np.random.default_rng(11)
+    saw_stuffed = False
+    for _ in range(64):
+        img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        enc = encode_jpeg(img, quality=100)
+        saw_stuffed = saw_stuffed or b"\xff\x00" in enc
+        assert np.abs(
+            decode_jpeg(enc)[:, :, 0].astype(int) - img.astype(int)
+        ).max() <= 2
+    assert saw_stuffed
+
+
+def test_decode_handcrafted_420_subsampled():
+    """The encoder only writes 4:4:4, so the subsampled-MCU walk is
+    pinned by a hand-crafted 4:2:0 stream: one 16x16 MCU, four Y blocks
+    (2x2 sampling) with distinct flat DC values, neutral chroma (1x1).
+    Expected pixels: each 8x8 Y block decodes flat to
+    round(clip(DC * q / 8 + 128)) and chroma-128 makes RGB == Y."""
+    dc_tab = _build_encode_table(*HUFF_DC_LUMA)
+    ac_tab = _build_encode_table(*HUFF_AC_LUMA)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # all-ones quant table (zigzag order == natural for a constant table)
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 16, 16, 3)
+        + bytes([1, 0x22, 0])  # Y: h=2, v=2
+        + bytes([2, 0x11, 0])  # Cb: 1x1
+        + bytes([3, 0x11, 0]),  # Cr: 1x1
+    )
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(HUFF_DC_LUMA[0][1:17]) + bytes(HUFF_DC_LUMA[1]),
+    ) + seg(
+        0xC4,
+        bytes([0x10]) + bytes(HUFF_AC_LUMA[0][1:17]) + bytes(HUFF_AC_LUMA[1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    y_dcs = [64, -64, 32, -32]  # four Y blocks, raster order within the MCU
+    pred = 0
+    eob_code, eob_len = ac_tab[0x00]
+
+    def put_dc(diff):
+        t = int(abs(diff)).bit_length() if diff else 0
+        code, ln = dc_tab[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        bw.write(eob_code, eob_len)
+
+    for dc in y_dcs:
+        put_dc(dc - pred)
+        pred = dc
+    put_dc(0)  # Cb (its own predictor starts at 0)
+    put_dc(0)  # Cr
+    bw.flush()
+
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    dec = decode_jpeg(payload)
+    assert dec.shape == (16, 16, 3)
+    expect = {0: 64 / 8 + 128, 1: -64 / 8 + 128, 2: 32 / 8 + 128, 3: -32 / 8 + 128}
+    for i, (by, bx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        block = dec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :]
+        assert np.all(np.abs(block.astype(float) - expect[i]) <= 1.0), (i, block[0, 0])
+
+
+def test_unsupported_profiles_raise_codec_error():
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(CodecError, match="SOI"):
+        decode_jpeg(b"XX" + good[2:])
+    # rewrite SOF0 -> SOF2 (progressive): must refuse loudly
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(CodecError, match="baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(CodecError, match="truncated|marker|scan"):
+        decode_jpeg(good[: len(good) // 2])
+    # garbage after SOI: APP0 with zero length -> truncated segment
+    with pytest.raises(CodecError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_multimodal_dispatch_includes_jpeg():
+    from cpdd_spark.multimodal import decode_image, sniff_format
+
+    img = np.clip(np.add.outer(np.arange(16) * 8, np.arange(16) * 4), 0, 255).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(img, 92)
+    assert sniff_format(enc) == "jpeg"
+    dec = decode_image(enc)
+    assert dec.shape == (16, 16, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 6

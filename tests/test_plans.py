@@ -154,3 +154,19 @@ def test_no_unsanctioned_cartesian_products(spark):
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
             offenders.append(name)
     assert offenders == [], offenders
+
+
+def test_embed_dup_pairs_no_string_casts(spark):
+    """The typed-id candidate path (similarity.cosine_dup_pairs_lsh ->
+    pairs_from_buckets(id_col='id')) must keep native LONG vector ids end
+    to end: a reintroduced string cast would triple the shuffle key bytes
+    and silently regress the r5 typed-id work. No cast-to-string may
+    appear anywhere in the executed plan."""
+    import re
+
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["embed_dup_pairs"](spark, SF)
+    plan = _plan(df).lower()
+    casts = re.findall(r"cast\([^)]*as string\)", plan)
+    assert not casts, casts[:5]

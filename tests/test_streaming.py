@@ -619,3 +619,60 @@ def test_mid_stream_compaction_equivalence(spark, tmp_path):
             for r in spark.read.parquet(cl).collect()
         }
     assert outcomes["plain"] == outcomes["compacted"], outcomes
+
+
+def test_cache_state_equivalence_and_invalidation(spark, tmp_path):
+    """The schema cache is a pure optimization: a cached and an uncached
+    stream over the same batches must write identical cluster assignments
+    and identical near indexes, through appends AND across a mid-stream
+    compact_index() (which invalidates the cached schemas wholesale)."""
+    outs = {}
+    for cached in (True, False):
+        base = tmp_path / ("cached" if cached else "plain")
+        dedup = IncrementalDedup(
+            spark,
+            str(base / "clusters"),
+            near_index_dir=str(base / "nearidx"),
+            cache_state=cached,
+        )
+        dedup.process_batch(
+            _turns(spark, [("a1", 0, "user", _doc(60), "", None)]), 0
+        )
+        dedup.process_batch(
+            _turns(
+                spark,
+                [
+                    ("b1", 0, "user", _doc(50), "", None),  # near-dup of a1
+                    ("b2", 0, "user", _doc(40, start=500), "", None),
+                ],
+            ),
+            1,
+        )
+        if cached:
+            assert dedup._schema_cache  # pinned after pure-modern reads
+        dedup.compact_index()
+        assert dedup._schema_cache == {}  # compaction invalidated
+        dedup.process_batch(
+            _turns(
+                spark,
+                [
+                    ("c1", 0, "user", _doc(60), "", None),   # exact dup of a1
+                    ("c2", 0, "user", _doc(45, start=500), "", None),  # near b2
+                ],
+            ),
+            2,
+        )
+        outs[cached] = {
+            "clusters": {
+                (r["conv_id"], r["cluster_id"])
+                for r in spark.read.parquet(str(base / "clusters")).collect()
+            },
+            "idx_docs": {
+                (r["conv_id"], r["cluster_id"], tuple(sorted(r["shingles"])))
+                for r in spark.read.parquet(str(base / "nearidx" / "docs")).collect()
+            },
+        }
+    assert outs[True] == outs[False]
+    got = dict(outs[True]["clusters"])
+    assert got["c1"] == got["a1"] and got["b1"] == got["a1"]
+    assert got["c2"] == got["b2"]
