@@ -332,7 +332,14 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ec.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
         "conv_id",
     )
-    sigs = compute_signatures(reps, CFG, with_sets=True)
+    # materialize the fused Arrow pass ONCE: banding, the set-verify join,
+    # and CC all read `sigs` — unmaterialized, each consumer re-runs the
+    # Python kernel (measured 13.2 s -> one-pass shape in BENCH_r06).
+    # Same discipline as DedupPipeline's signatures stage table and the
+    # streaming tier's per-batch checkpoint.
+    sigs = compute_signatures(reps, CFG, with_sets=True).localCheckpoint(
+        eager=True
+    )
     verified = verify_pairs_sets(
         candidate_pairs(sigs, CFG), sigs.select("conv_id", "shingles"), CFG
     )

@@ -302,10 +302,27 @@ parallelism). Wall time measures the job from first action to final count,
 excluding JVM/executor startup and Python-worker warmup (both amortized on
 a long-running cluster). Generated: scripts/two_scale.py (fixture seed 42);
 rerun with SPARK_GRAFT_LEGS=8,32 for the saturated upper pair.
+
+<!-- two_scale:end — everything below survives protocol reruns -->
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # PRESERVE hand-written findings: the file accumulates per-round
+    # sections (scale rehearsals, CC crossover, streaming, codec
+    # throughput) after the end marker; a rerun replaces only the
+    # protocol-generated header. (Round 5 lost these sections to a plain
+    # overwrite and had to re-append them by hand.)
+    tail = ""
+    marker = "<!-- two_scale:end"
+    try:
+        with open(path) as f:
+            old = f.read()
+        if marker in old:
+            tail = old.split(marker, 1)[1].split("-->", 1)[1]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write(md + tail)
     print(f"efficiency={eff:.3f} -> BENCH/BASELINE.md")
 
 
