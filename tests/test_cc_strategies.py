@@ -61,3 +61,33 @@ def test_auto_boundary_forces_distributed(spark, monkeypatch):
     edges = [("b", "c"), ("a", "b"), ("x", "y")]
     auto = _clusters(spark, edges, "auto", vertices=["a", "b", "c", "x", "y", "s"])
     assert auto == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "s": "s"}
+
+
+def test_driver_cc_bound_scales_with_driver_memory():
+    """The auto-switch byte bound follows spark.driver.memory: mem/16
+    with a 64 MB floor (unknown/small drivers) and a 1 GB cap (past
+    which collect TIME, not heap, is the concern). Parsing covers the
+    JVM memory-string grammar (512m, 32g, 1t, plain bytes, g/gb case)."""
+    import cpdd_spark.cc as cc
+
+    class FakeConf:
+        def __init__(self, mem):
+            self._mem = mem
+
+        def get(self, key, default=None):
+            return self._mem if self._mem is not None else default
+
+    class FakeSpark:
+        def __init__(self, mem):
+            self.conf = FakeConf(mem)
+
+    mb64, gb1 = 64 << 20, 1 << 30
+    assert cc._driver_cc_bound(FakeSpark(None)) == mb64  # default 1g -> floor
+    assert cc._driver_cc_bound(FakeSpark("512m")) == mb64  # 32MB -> floor
+    assert cc._driver_cc_bound(FakeSpark("2g")) == (2 << 30) // 16
+    assert cc._driver_cc_bound(FakeSpark("32g")) == gb1  # 2GB -> cap
+    assert cc._driver_cc_bound(FakeSpark("1t")) == gb1
+    assert cc._driver_cc_bound(FakeSpark("4G")) == (4 << 30) // 16
+    assert cc._driver_cc_bound(FakeSpark("8gb")) == (8 << 30) // 16
+    assert cc._driver_cc_bound(FakeSpark(str(32 << 30))) == gb1
+    assert cc._driver_cc_bound(FakeSpark("garbage")) == mb64  # parse fail -> floor
