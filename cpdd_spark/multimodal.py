@@ -4,11 +4,12 @@ Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through Arrow-batched ``mapInPandas`` kernels. The decode path
 is REAL for PNG, BMP, binary netpbm (:mod:`cpdd_spark.codecs` —
 pure-Python zlib inflate + scanline unfilter / BI_RGB / P5-P6 read) and
-baseline JPEG (:mod:`cpdd_spark.jpeg` — from-spec Huffman + IDCT):
-features are histograms of actual decoded pixels, resize re-encodes
-actual resampled rasters. GIF/WebP and the video containers remain
-documented stubs and raise ``NotImplementedError`` so a mislabeled blob
-fails loudly instead of producing wrong pixels.
+baseline JPEG (:mod:`cpdd_spark.jpeg` — from-spec Huffman + IDCT) and
+GIF (:mod:`cpdd_spark.gif` — LZW + palette + interlace): features are
+histograms of actual decoded pixels, resize re-encodes actual resampled
+rasters. WebP and the video containers remain documented stubs and
+raise ``NotImplementedError`` so a mislabeled blob fails loudly instead
+of producing wrong pixels.
 """
 
 from __future__ import annotations
@@ -30,6 +31,7 @@ from cpdd_spark.codecs import (
     encode_pnm,
     resize_nearest,
 )
+from cpdd_spark.gif import decode_gif, encode_gif
 from cpdd_spark.jpeg import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = (
@@ -104,17 +106,18 @@ _DECODERS = {
     "pgm": decode_pnm,
     "ppm": decode_pnm,
     "jpeg": decode_jpeg,
+    "gif": decode_gif,
 }
 
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to ``(H, W, C)`` uint8 pixels.
 
-    REAL for PNG, BMP, binary netpbm (PGM/PPM) (cpdd_spark.codecs) and
-    baseline-sequential JPEG (cpdd_spark.jpeg); every other container
-    (GIF/WebP/video) raises ``NotImplementedError`` — a silent stand-in
-    would poison every feature downstream. Malformed or
-    unsupported-profile payloads of a supported format raise
+    REAL for PNG, BMP, binary netpbm (PGM/PPM) (cpdd_spark.codecs),
+    baseline-sequential JPEG (cpdd_spark.jpeg), and GIF (cpdd_spark.gif);
+    every other container (WebP/video) raises ``NotImplementedError`` —
+    a silent stand-in would poison every feature downstream. Malformed
+    or unsupported-profile payloads of a supported format raise
     :class:`CodecError` (CRC/marker checked, truncation detected,
     progressive JPEG refused loudly)."""
     fmt = sniff_format(payload)
@@ -122,9 +125,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if dec is None:
         raise NotImplementedError(
             f"no codec for container format {fmt!r}: PNG, BMP, "
-            "binary netpbm, and baseline JPEG decode natively; GIF/WebP "
-            "and video formats require an imaging library not present "
-            "in this environment"
+            "binary netpbm, baseline JPEG, and GIF decode natively; "
+            "WebP and video formats require an imaging library not "
+            "present in this environment"
         )
     return dec(payload)
 
@@ -269,8 +272,9 @@ def text_to_image_media(
     grayscale raster of fixed ``width`` (pixels = bytes, zero-padded,
     height capped at ``max_height``). With ``mixed_formats`` the
     container rotates by id CRC across PNG / 24-bit BMP / binary PGM /
-    baseline JPEG, so one table exercises every implemented decoder
-    (including the lossy entropy-coded path); otherwise all PNG.
+    baseline JPEG / GIF, so one table exercises every implemented
+    decoder (including the lossy entropy-coded path and the LZW palette
+    path); otherwise all PNG.
 
     This is the sandbox's deterministic media source: downstream decode /
     feature / resize operators run against genuine containers with CRCs,
@@ -291,9 +295,10 @@ def text_to_image_media(
                 arr = buf.reshape(h, width)
                 enc = encode_png
                 if mixed_formats:
-                    enc = (encode_png, encode_bmp, encode_pnm, encode_jpeg)[
-                        _zlib.crc32(str(mid).encode("utf-8")) % 4
-                    ]
+                    enc = (
+                        encode_png, encode_bmp, encode_pnm, encode_jpeg,
+                        encode_gif,
+                    )[_zlib.crc32(str(mid).encode("utf-8")) % 5]
                 payloads.append(enc(arr))
             yield pd.DataFrame(
                 {

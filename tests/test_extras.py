@@ -199,7 +199,7 @@ def test_multimodal_plumbing(spark, docs):
     media = text_to_image_media(docs.limit(50), "doc_id", "text")
     feats = extract_features(media).collect()
     assert len(feats) == 50
-    assert {r["format"] for r in feats} == {"png", "bmp", "pgm", "jpeg"}
+    assert {r["format"] for r in feats} == {"png", "bmp", "pgm", "jpeg", "gif"}
     for r in feats:
         assert len(r["features"]) == 16
         assert abs(sum(r["features"]) - 1.0) < 1e-3
@@ -214,10 +214,13 @@ def test_multimodal_plumbing(spark, docs):
     # strict=False absorbs both to nulls (tested above) while
     # strict=True propagates
     with pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a" + b"\x00" * 16)  # gif magic — still a stub
-    # jpeg decodes for real now; a malformed one raises CodecError
+        # webp magic — still a stub (gif/jpeg decode for real now)
+        decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    # jpeg/gif decode for real now; malformed ones raise CodecError
     with pytest.raises(CodecError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(CodecError):
+        decode_image(b"GIF89a" + b"\x00" * 16)
     good = encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8))
     corrupt = bytearray(good)
     corrupt[20] ^= 0xFF
@@ -434,9 +437,12 @@ def test_multimodal_resize_and_pool_plumbing(spark):
         assert arr.shape[:2] == (4, 8)
         assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
     with _pytest.raises(NotImplementedError):
-        resize_image(b"GIF89a" + b"\x00" * 8, 2, 2)  # gif is still a stub
+        # webp is still a stub
+        resize_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 8, 2, 2)
     with _pytest.raises(CodecError):
         resize_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8, 2, 2)  # malformed jpeg
+    with _pytest.raises(CodecError):
+        resize_image(b"GIF89a" + b"\x00" * 8, 2, 2)  # malformed gif
 
     # resize agrees with the standalone kernel: decode -> resample ->
     # re-encode of the same source payload is byte-identical
