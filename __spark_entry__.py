@@ -36,7 +36,12 @@ from cpdd_spark.cc import connected_components
 from cpdd_spark.config import DedupConfig
 from cpdd_spark.exact import exact_clusters, exact_pairs
 from cpdd_spark.lsh import candidate_pairs, simhash_candidates
-from cpdd_spark.multimodal import extract_features, text_to_image_media
+from cpdd_spark.multimodal import (
+    audio_features,
+    extract_features,
+    text_to_audio_media,
+    text_to_image_media,
+)
 from cpdd_spark.ngram import jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.rangejoin import interval_join
@@ -806,11 +811,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache the signature pass then reads — an unpersisted form ran the
     whole groupBy+concat assembly twice (once for the count, again
     inside the signatures job), the r5 bench regression. Mirrors cpdd's
-    compute-each-tier-input-once discipline (matching.c:100-139)."""
+    compute-each-tier-input-once discipline (matching.c:100-139).
+
+    ``with_minhash=False``: the screen consumes only (conv_id,
+    n_shingles, simhash), so the k=128 MinHash sweep and its Arrow
+    arrays are skipped — simhash values (and therefore the pinned
+    oracle) are bit-identical to the full pass."""
     docs = _assembled(spark, sf_dir).persist()
     n_docs = docs.count()
     result = simhash_candidates(
-        compute_signatures(docs, CFG), CFG, n_docs=n_docs
+        compute_signatures(docs, CFG, with_minhash=False), CFG, n_docs=n_docs
     ).localCheckpoint(eager=True)
     docs.unpersist()
     return result
@@ -1000,6 +1010,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct(F.col("features"))).alias("features_json"),
         )
     )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end to end (T13, audio modality): every
+    document's text renders into a genuine mono PCM16 WAV container
+    (cpdd_spark.multimodal.text_to_audio_media), then audio_features
+    walks the RIFF chunks and computes decoded-sample features — RMS
+    (exact int64 sum of squares), zero-crossing rate (integer
+    comparisons), spectral centroid (float64 rfft; deterministic for a
+    given numpy build, the same contract the JPEG IDCT pins). Output is
+    the 20 lexicographically-first media rows (probe-sized, same
+    protocol as q_multimodal_features: the decode kernel still runs
+    over the whole corpus underneath), pinned as a VALUES oracle — any
+    drift in the WAV writer, the chunk walk, the sample normalization,
+    or the feature math breaks the hash."""
+    media = text_to_audio_media(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return audio_features(media).orderBy("media_id").limit(20)
 
 
 # ---------------------------------------------------------------------------
@@ -1330,6 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1505,6 +1535,45 @@ def oracle_sql() -> dict[str, str]:
           ('114', 184, 'png', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('115', 162, 'png', 32, 5, 1, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
         ) AS t(media_id, n_bytes, format, width, height, channels, features_json)
+        """,
+        # audio twin of the multimodal pin: 20 media rows whose payloads
+        # are genuine PCM16 WAV containers rendered from document text;
+        # the decoded-sample features below came from the pure-Python
+        # RIFF chunk walk (exact int64 RMS, integer ZCR, float64 rfft
+        # centroid), so any codec or kernel drift breaks the hash
+        "audio_features": """
+        SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, format,
+               CAST(sample_rate AS INT) AS sample_rate,
+               CAST(n_samples AS BIGINT) AS n_samples,
+               CAST(n_channels AS INT) AS n_channels,
+               CAST(duration_s AS DOUBLE) AS duration_s,
+               CAST(rms AS DOUBLE) AS rms,
+               CAST(zero_cross_rate AS DOUBLE) AS zero_cross_rate,
+               CAST(spectral_centroid_hz AS DOUBLE) AS spectral_centroid_hz
+        FROM (VALUES
+          ('0', 358, 'wav', 8000, 157, 1, 0.019625e0, 0.36749916895406276e0, 0.0e0, 1903.010294961491e0),
+          ('1', 856, 'wav', 8000, 406, 1, 0.05075e0, 0.34696228286269815e0, 0.0e0, 2015.9844529425359e0),
+          ('10', 472, 'wav', 8000, 214, 1, 0.02675e0, 0.34952518459418025e0, 0.0e0, 1918.798513089524e0),
+          ('100', 966, 'wav', 8000, 461, 1, 0.057625e0, 0.3489562044309177e0, 0.0e0, 2019.5515674212934e0),
+          ('101', 508, 'wav', 8000, 232, 1, 0.029e0, 0.3499487778337774e0, 0.0e0, 1935.397248267522e0),
+          ('102', 1074, 'wav', 8000, 515, 1, 0.064375e0, 0.3470433314118385e0, 0.0e0, 1998.5947301597844e0),
+          ('103', 1098, 'wav', 8000, 527, 1, 0.065875e0, 0.3473363354811096e0, 0.0e0, 2067.7516563494873e0),
+          ('104', 536, 'wav', 8000, 246, 1, 0.03075e0, 0.3508461536525296e0, 0.0e0, 1968.5141900429514e0),
+          ('105', 700, 'wav', 8000, 328, 1, 0.041e0, 0.3509360420357993e0, 0.0e0, 1990.1363869084219e0),
+          ('106', 184, 'wav', 8000, 70, 1, 0.00875e0, 0.3408205123694666e0, 0.0e0, 1803.6002162162602e0),
+          ('107', 468, 'wav', 8000, 212, 1, 0.0265e0, 0.35310197526789566e0, 0.0e0, 1933.1249231296501e0),
+          ('108', 216, 'wav', 8000, 86, 1, 0.01075e0, 0.3548677795861046e0, 0.0e0, 1777.3514839604277e0),
+          ('109', 834, 'wav', 8000, 395, 1, 0.049375e0, 0.3479430863190801e0, 0.0e0, 2032.111584143149e0),
+          ('11', 652, 'wav', 8000, 304, 1, 0.038e0, 0.3577590330801043e0, 0.0e0, 2006.8191457032774e0),
+          ('110', 152, 'wav', 8000, 54, 1, 0.00675e0, 0.35849643514324747e0, 0.0e0, 1705.3068010998193e0),
+          ('111', 1102, 'wav', 8000, 529, 1, 0.066125e0, 0.34779689500462513e0, 0.0e0, 2073.434330841528e0),
+          ('112', 688, 'wav', 8000, 322, 1, 0.04025e0, 0.34959090660690806e0, 0.0e0, 2020.505661827863e0),
+          ('113', 900, 'wav', 8000, 428, 1, 0.0535e0, 0.35328748342401156e0, 0.0e0, 2002.8088656663608e0),
+          ('114', 458, 'wav', 8000, 207, 1, 0.025875e0, 0.34326845800593936e0, 0.0e0, 1919.2902595850262e0),
+          ('115', 308, 'wav', 8000, 132, 1, 0.0165e0, 0.34672265692146503e0, 0.0e0, 1871.7346150885783e0)
+        ) AS t(media_id, n_bytes, format, sample_rate, n_samples,
+               n_channels, duration_s, rms, zero_cross_rate,
+               spectral_centroid_hz)
         """,
         "ann_lsh_topk": """
         SELECT CAST(query_id AS BIGINT) AS query_id,

@@ -84,6 +84,7 @@ EXTRA = [
     "pack_sequences",    # token-budget sequence packing
     "line_dedup",        # intra-doc line dedup (JVM array ops)
     "multimodal_features",  # REAL PNG/BMP encode+decode over every doc
+    "audio_features",    # REAL WAV encode+decode+spectral features per doc
 ]
 
 

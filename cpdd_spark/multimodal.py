@@ -33,6 +33,7 @@ from cpdd_spark.codecs import (
 )
 from cpdd_spark.gif import decode_gif, encode_gif
 from cpdd_spark.jpeg import decode_jpeg, encode_jpeg
+from cpdd_spark.wav import decode_wav, encode_wav
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
@@ -41,6 +42,11 @@ MEDIA_SCHEMA = (
 FEATURE_SCHEMA = (
     "media_id string, n_bytes long, format string, width int, height int, "
     "channels int, features array<float>, entropy double"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "media_id string, n_bytes long, format string, sample_rate int, "
+    "n_samples long, n_channels int, duration_s double, rms double, "
+    "zero_cross_rate double, spectral_centroid_hz double"
 )
 
 # magic-byte signatures (hex prefixes) -> container format. These are REAL
@@ -379,4 +385,129 @@ def frame_sample(media: DataFrame, every_n: int = 1024, max_frames: int = 8) -> 
                 )
             ).alias("frame_idx", "frame"),
         )
+    )
+
+
+def text_to_audio_media(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_rate: int = 8000,
+    max_samples: int = 8192,
+) -> DataFrame:
+    """Render each row's UTF-8 text bytes into a REAL mono PCM16 WAV
+    payload (sample = ``(byte - 128) << 8``, truncated at
+    ``max_samples``) — the audio twin of :func:`text_to_image_media`:
+    downstream decode/feature operators run against genuine RIFF
+    containers with fmt/data chunk framing, not placeholder bytes. The
+    media schema is the SAME struct the image tier uses (width/height
+    null, mime ``audio/wav``), so mixed-modality tables union cleanly
+    and route by ``kind``/sniffed format."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(
+                    str(text).encode("utf-8")[:max_samples], dtype=np.uint8
+                )
+                if len(b) == 0:
+                    b = np.zeros(1, dtype=np.uint8)
+                samples = (b.astype(np.int16) - 128) << 8
+                payloads.append(encode_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": ["audio"] * len(pdf),
+                    "payload": payloads,
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col(text_col).cast("string").alias("text"),
+    )
+    media = base.mapInPandas(
+        kernel, schema="media_id string, kind string, payload binary"
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit("audio/wav").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
+    """``media -> (media_id, n_bytes, format, sample_rate, n_samples,
+    n_channels, duration_s, rms, zero_cross_rate, spectral_centroid_hz)``
+    via mapInPandas — REAL decoded-sample features for WAV payloads
+    (cpdd_spark.wav), the audio analogue of :func:`extract_features`.
+
+    ``rms`` is computed on samples normalized to [-1, 1) with an exact
+    int64 sum of squares (order-independent, so deterministic across
+    partitionings); ``zero_cross_rate`` is the fraction of adjacent
+    same-channel pairs that change sign (integer comparisons, exact);
+    ``spectral_centroid_hz`` is the magnitude-weighted mean frequency of
+    channel 0's rfft (float64 — deterministic for a given numpy build,
+    the same contract the JPEG IDCT pins). Non-WAV or malformed payloads
+    yield NULLs (``strict=True`` raises — triage mode), matching the
+    image tier's decode-or-refuse discipline."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for p in pdf["payload"]:
+                try:
+                    samples, rate = decode_wav(p)
+                except CodecError:
+                    if strict:
+                        raise
+                    rows.append((None,) * 7)
+                    continue
+                n, ch = samples.shape
+                s64 = samples.astype(np.int64)
+                rms = float(
+                    np.sqrt(float((s64 * s64).sum()) / (n * ch)) / 32768.0
+                )
+                if n > 1:
+                    signs = samples >= 0
+                    zcr = float(
+                        (signs[1:] != signs[:-1]).sum() / ((n - 1) * ch)
+                    )
+                else:
+                    zcr = 0.0
+                mag = np.abs(np.fft.rfft(samples[:, 0].astype(np.float64)))
+                total = float(mag.sum())
+                if total > 0.0:
+                    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                    centroid = float((freqs * mag).sum() / total)
+                else:
+                    centroid = 0.0
+                rows.append(
+                    (rate, n, ch, n / rate, rms, zcr, centroid)
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": pdf["payload"].str.len().astype("int64"),
+                    "format": [sniff_format(p) for p in pdf["payload"]],
+                    "sample_rate": pd.array(
+                        [r[0] for r in rows], dtype="Int32"
+                    ),
+                    "n_samples": pd.array([r[1] for r in rows], dtype="Int64"),
+                    "n_channels": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "duration_s": [r[3] for r in rows],
+                    "rms": [r[4] for r in rows],
+                    "zero_cross_rate": [r[5] for r in rows],
+                    "spectral_centroid_hz": [r[6] for r in rows],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, schema=AUDIO_FEATURE_SCHEMA
     )

@@ -200,7 +200,8 @@ def _simhash(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 
 def compute_signatures(
-    docs: DataFrame, cfg: DedupConfig, with_sets: bool = False
+    docs: DataFrame, cfg: DedupConfig, with_sets: bool = False,
+    with_minhash: bool = True,
 ) -> DataFrame:
     """``documents(conv_id, .., doc)`` ->
     ``signatures(conv_id, n_shingles, minhash array<long>[k], simhash long)``.
@@ -214,6 +215,14 @@ def compute_signatures(
     (:func:`cpdd_spark.verify.verify_pairs_sets`), and consumers that only
     band the minhash columns still prune the set column at the parquet/
     Iceberg scan.
+
+    ``with_minhash=False`` drops the k-permutation MinHash from the pass
+    (schema omits the ``minhash`` column): the SimHash screen only
+    consumes ``(conv_id, n_shingles, simhash)``, and the k=128
+    permutation sweep plus the k-long Arrow arrays are the dominant cost
+    of the fused kernel — a simhash-only consumer should not pay them.
+    The emitted ``simhash`` values are bit-identical to the full pass
+    (same shingle stream, untouched accumulation; pinned by pytest).
     """
     consts = _perm_params(cfg)
     w = cfg.shingle_w
@@ -221,14 +230,14 @@ def compute_signatures(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             h, offsets = shingle_hashes(pdf["doc"], w)
-            sig = _minhash(h, offsets, consts)
             sim = _simhash(h, offsets)
             cols = {
                 "conv_id": pdf["conv_id"].to_numpy(),
                 "n_shingles": np.diff(offsets),
-                "minhash": list(sig),
-                "simhash": sim,
             }
+            if with_minhash:
+                cols["minhash"] = list(_minhash(h, offsets, consts))
+            cols["simhash"] = sim
             if with_sets:
                 cols["shingles"] = [
                     np.unique(h[offsets[i] : offsets[i + 1]]).view(np.int64)
@@ -236,7 +245,10 @@ def compute_signatures(
                 ]
             yield pd.DataFrame(cols)
 
-    schema = SIG_SCHEMA + (", shingles array<long>" if with_sets else "")
+    schema = (
+        SIG_SCHEMA if with_minhash
+        else "conv_id string, n_shingles long, simhash long"
+    ) + (", shingles array<long>" if with_sets else "")
     return docs.select("conv_id", "doc").mapInPandas(kernel, schema=schema)
 
 

@@ -249,6 +249,50 @@ def test_multimodal_plumbing(spark, docs):
         assert bytes(f["frame"]) == expect
 
 
+def test_audio_plumbing(spark, docs):
+    """Audio modality twin of test_multimodal_plumbing: text renders
+    into genuine PCM16 WAV containers, and the feature kernel's decoded
+    numbers match an independent numpy computation on the same bytes."""
+    from cpdd_spark.multimodal import (
+        audio_features,
+        attach_payload,
+        text_to_audio_media,
+    )
+    from cpdd_spark.wav import decode_wav
+
+    media = text_to_audio_media(docs.limit(30), "doc_id", "text")
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = audio_features(media).collect()
+    assert len(out) == 30
+    for r in out:
+        assert r["format"] == "wav"
+        samples, rate = decode_wav(payloads[r["media_id"]])
+        n, ch = samples.shape
+        assert (r["sample_rate"], r["n_samples"], r["n_channels"]) == (rate, n, ch)
+        # independent recomputation of the decoded-sample features
+        x = samples[:, 0].astype(np.float64)
+        rms = float(np.sqrt((x * x).mean()) / 32768.0)
+        assert abs(r["rms"] - rms) < 1e-12
+        signs = samples >= 0
+        zcr = float((signs[1:] != signs[:-1]).sum() / max(1, (n - 1) * ch))
+        assert r["zero_cross_rate"] == zcr
+        mag = np.abs(np.fft.rfft(x))
+        if mag.sum() > 0:
+            cent = float((np.fft.rfftfreq(n, 1.0 / rate) * mag).sum() / mag.sum())
+            assert abs(r["spectral_centroid_hz"] - cent) < 1e-9
+        # the rendered signal is the document's bytes: samples recover them
+        assert (samples[:, 0] >> 8).astype(np.int16).min() >= -128
+
+    # non-WAV payloads (raw text bytes) -> NULL features, loud in strict
+    raw = attach_payload(docs.limit(5), "doc_id", "text", kind="audio")
+    for r in audio_features(raw).collect():
+        assert r["format"] == "unknown" and r["rms"] is None
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        audio_features(raw, strict=True).collect()
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF-Flat on planted near-duplicates (cosine ~0.99): base vectors
     plus tiny noise must retrieve each other as top-1 through the

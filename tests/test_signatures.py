@@ -105,6 +105,23 @@ def test_compute_signatures_spark(spark, turns_df):
         assert by_id.loc[cid, "simhash"] == local_sim[i]
 
 
+def test_simhash_only_mode_bit_identical(spark, turns_df):
+    """with_minhash=False skips the k-permutation sweep; the emitted
+    simhash column (and n_shingles) must be bit-identical to the full
+    fused pass — the guarantee that lets the SimHash screen take the
+    cheap path without touching its pinned oracle."""
+    from cpdd_spark.assemble import assemble_documents
+
+    docs = assemble_documents(turns_df)
+    full = compute_signatures(docs, CFG).toPandas().set_index("conv_id")
+    lean = compute_signatures(docs, CFG, with_minhash=False).toPandas()
+    assert list(lean.columns) == ["conv_id", "n_shingles", "simhash"]
+    assert len(lean) == len(full)
+    for _, r in lean.iterrows():
+        assert r["simhash"] == full.loc[r["conv_id"], "simhash"]
+        assert r["n_shingles"] == full.loc[r["conv_id"], "n_shingles"]
+
+
 def test_bad_band_config_rejected():
     with pytest.raises(ValueError):
         DedupConfig(num_perm=128, lsh_bands=10, lsh_rows=4)
