@@ -42,7 +42,7 @@ from cpdd_spark.multimodal import (
     text_to_audio_media,
     text_to_image_media,
 )
-from cpdd_spark.ngram import jaccard_pairs
+from cpdd_spark.ngram import decontaminate, jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.rangejoin import interval_join
 from cpdd_spark.sampling import hash_bucket_sql, hash_split, stratified_sample
@@ -1031,6 +1031,20 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media).orderBy("media_id").limit(20)
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination screen (cpdd_spark.ngram.decontaminate):
+    every document is scored by how many distinct word 5-grams it shares
+    with a probe "benchmark" set — here the deterministic sixth of the
+    corpus with ``doc_id % 17 == 0``, standing in for a held-out eval
+    suite. ``n_hits`` is an exact integer (no hashing), so the oracle is
+    the full inverted-index computation in SQL. Probe docs with >= n
+    tokens self-hit by construction — a built-in sanity anchor the
+    oracle reproduces."""
+    docs = _read(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 17 == 0)
+    return decontaminate(docs, probes, "doc_id", "text", n=5, min_overlap=1)
+
+
 # ---------------------------------------------------------------------------
 # relational / analytics queries over the TPC-H-shaped tables
 #
@@ -1340,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_doc_sample": q_stratified_doc_sample,
         "pack_sequences": q_pack_sequences,
         "line_dedup": q_line_dedup,
+        "decontaminate": q_decontaminate,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -2114,6 +2129,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(array_to_string(list_distinct(string_split(text, chr(10))),
                  chr(10))) AS BIGINT) AS deduped_len
         FROM documents
+        """,
+        # full inverted-index twin of cpdd_spark.ngram.decontaminate:
+        # same canonical tokenization and distinct-5-gram construction as
+        # the ngram_pairs CTE, probe set = doc_id % 17 == 0
+        "decontaminate": f"""
+        WITH dtok AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '{WS_SQL}'),
+                             t -> t <> '') AS tk
+          FROM documents
+        ),
+        dgrams AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(list_transform(range(len(tk) - 4),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 5), ' '))))
+                   AS shingle
+          FROM dtok WHERE len(tk) >= 5
+        ),
+        probe AS (SELECT DISTINCT shingle FROM dgrams WHERE id % 17 = 0),
+        hits AS (
+          SELECT id, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM dgrams JOIN probe USING (shingle) GROUP BY id
+        )
+        SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+               COALESCE(h.n_hits, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.id
         """,
         "user_conversion": """
         SELECT user_id, first_click_us,

@@ -85,6 +85,7 @@ EXTRA = [
     "line_dedup",        # intra-doc line dedup (JVM array ops)
     "multimodal_features",  # REAL PNG/BMP encode+decode over every doc
     "audio_features",    # REAL WAV encode+decode+spectral features per doc
+    "decontaminate",     # benchmark-overlap screen (broadcast probe grams)
 ]
 
 

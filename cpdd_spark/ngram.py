@@ -154,3 +154,68 @@ def jaccard_pairs(
         result = result.localCheckpoint(eager=True)
         sets.unpersist()
     return result
+
+
+def decontaminate(
+    docs: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    text_col: str,
+    probe_id_col: str | None = None,
+    probe_text_col: str | None = None,
+    n: int = 5,
+    min_overlap: int = 1,
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Test-set decontamination: mark every document that shares at least
+    ``min_overlap`` distinct word ``n``-grams with ANY probe document —
+    the standard held-out-benchmark overlap screen a training-data
+    pipeline runs before a corpus ships. Returns
+    ``(<id_col>, n_hits, contaminated)`` for EVERY input document
+    (``n_hits`` = distinct n-grams shared with the probe set's union;
+    docs shorter than ``n`` tokens carry no n-grams and report 0, the
+    same convention as the pair screens — the exact tier owns them).
+
+    Plan, sized for a 100 TB corpus vs a benchmark-sized probe set:
+    the probe side collapses to its DISTINCT n-gram union (tiny: a few
+    thousand eval documents), which is broadcast — so the corpus-side
+    scan is one explode + a MAP-SIDE hash semi-join with no shuffle of
+    corpus text, followed by a partial-aggregated count per id (the
+    only shuffled rows are the hits, O(contamination), not O(corpus)).
+    ``broadcast_probes=False`` falls back to a shuffle join for
+    probe-gram sets too large for the driver — semantics identical.
+    Tokenization and gram construction are :func:`ngram_sets`, so
+    "n-gram" means exactly what the dedup screens mean by it.
+
+    Reference analogue: the probe union is cpdd's reference index
+    (matching.c:255-318) with n-grams in place of whole files — probe
+    membership decides disposition, first-match short-circuit replaced
+    by an overlap count (the verify tier of this screen).
+    """
+    probe_grams = (
+        ngram_sets(
+            probes, probe_id_col or id_col, probe_text_col or text_col, n
+        )
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_probes:
+        probe_grams = F.broadcast(probe_grams)
+    hits = (
+        ngram_sets(docs, id_col, text_col, n)
+        # grams are distinct per doc (ngram_sets), so count == distinct
+        .join(probe_grams, "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

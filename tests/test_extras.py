@@ -293,6 +293,65 @@ def test_audio_plumbing(spark, docs):
         audio_features(raw, strict=True).collect()
 
 
+def test_decontaminate_planted_overlap(spark):
+    """Planted benchmark leakage: a corpus doc quoting a probe sentence
+    verbatim is flagged with the exact shared-gram count; paraphrases
+    sharing no 5-gram stay clean; sub-5-token docs report 0 by
+    convention; the shuffle-join fallback matches the broadcast plan."""
+    from cpdd_spark.ngram import decontaminate
+
+    probes = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight"),
+            (101, "benchmarks must never leak into the training corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # quotes probe 100's first 6 tokens -> two distinct 5-grams
+            (1, "she said the quick brown fox jumps over and left"),
+            # same words, reordered: no shared 5-gram
+            (2, "fox brown quick the dog lazy over jumps tonight"),
+            (3, "too short"),
+            (4, "completely unrelated text about parquet partition pruning strategies"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(corpus, probes, "doc_id", "text").collect()
+    }
+    assert len(out) == 4
+    assert out[1]["n_hits"] == 2 and out[1]["contaminated"]
+    for clean in (2, 3, 4):
+        assert out[clean]["n_hits"] == 0 and not out[clean]["contaminated"]
+
+    # min_overlap raises the bar: 2 shared grams < 3 -> clean
+    strict = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(
+            corpus, probes, "doc_id", "text", min_overlap=3
+        ).collect()
+    }
+    assert not strict[1]
+
+    # shuffle-join fallback: identical result rows
+    fallback = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(
+            corpus, probes, "doc_id", "text", broadcast_probes=False
+        ).collect()
+    }
+    assert fallback == {
+        k: (r["n_hits"], r["contaminated"]) for k, r in out.items()
+    }
+
+    # probe self-hit sanity: running the corpus = probes marks everything
+    selfscan = decontaminate(probes, probes, "doc_id", "text").collect()
+    assert all(r["contaminated"] for r in selfscan)
+
+
 def test_ivf_topk_finds_planted_neighbors(spark):
     """IVF-Flat on planted near-duplicates (cosine ~0.99): base vectors
     plus tiny noise must retrieve each other as top-1 through the

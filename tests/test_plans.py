@@ -63,6 +63,17 @@ def test_region_revenue_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_broadcasts_probe_grams(spark):
+    """The decontamination screen must broadcast the probe-gram union
+    (map-side semi-join against the corpus-side explode), never shuffle
+    the corpus grams against the probe set, and never go cartesian."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["decontaminate"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
 def _window_is_partitionless(line: str) -> bool:
     """Parse a physical-plan 'Window ...' line. Spark prints only the
     NON-EMPTY specs: ([funcs], [part], [order]) when fully specified,
