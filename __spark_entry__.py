@@ -59,10 +59,13 @@ from cpdd_spark import textfuncs
 from cpdd_spark.textfuncs import (
     fingerprint,
     lang_id,
+    ngram_repetition,
     punct_count,
     quality_score,
     stopword_count,
     token_count,
+    token_frequencies,
+    ws_tokens,
 )
 from cpdd_spark.verify import verify_pairs, verify_pairs_sets
 
@@ -1031,6 +1034,38 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(media).orderBy("media_id").limit(20)
 
 
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency top-100
+    (cpdd_spark.textfuncs.token_frequencies): the counting pass
+    tokenizer/vocabulary training starts from. Map-side partial
+    aggregation shuffles O(vocabulary); the ordered take compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort). Ties
+    break on the token string so the 100-row cut is deterministic
+    cross-engine."""
+    return token_frequencies(
+        _read(spark, sf_dir, "documents"), "text", top_k=100
+    )
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition screen
+    (cpdd_spark.textfuncs.ngram_repetition): duplicate bigram/trigram
+    fractions per document — the Gopher-style repetitious-text signal,
+    pure JVM array ops (the line-level variant is q_line_dedup). The
+    fractions are single IEEE divisions of exact integer counts, so the
+    doubles hash-match cross-engine."""
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("__toks")
+    )
+    t = F.col("__toks")
+    return toks.select(
+        "doc_id",
+        ngram_repetition(t, 2).alias("bigram_rep"),
+        ngram_repetition(t, 3).alias("trigram_rep"),
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination screen (cpdd_spark.ngram.decontaminate):
     every document is scored by how many distinct word 5-grams it shares
@@ -1355,6 +1390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "line_dedup": q_line_dedup,
         "decontaminate": q_decontaminate,
+        "token_freq": q_token_freq,
+        "repetition": q_repetition,
         # relational/analytics breadth over the TPC-H-shaped tables
         "pricing_summary": q_pricing_summary,
         "ship_priority": q_ship_priority,
@@ -2129,6 +2166,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(length(array_to_string(list_distinct(string_split(text, chr(10))),
                  chr(10))) AS BIGINT) AS deduped_len
         FROM documents
+        """,
+        # same canonical tokenization as the engine; ties at the top-100
+        # boundary break on the token string in BOTH engines
+        "token_freq": f"""
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '{WS_SQL}'),
+                        t -> t <> '')) AS token
+          FROM documents
+        )
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 100
+        """,
+        # duplicate-n-gram fractions: exact integer counts, one IEEE
+        # division -> doubles hash-match cross-engine
+        "repetition": f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '{WS_SQL}'),
+                             x -> x <> '') AS tk
+          FROM documents
+        )
+        SELECT doc_id,
+          CASE WHEN len(tk) >= 2 THEN
+            CAST(len(tk) - 1 - len(list_distinct(list_transform(range(len(tk) - 1),
+                 i -> array_to_string(list_slice(tk, i + 1, i + 2), ' ')))) AS DOUBLE)
+            / CAST(len(tk) - 1 AS DOUBLE)
+          ELSE 0e0 END AS bigram_rep,
+          CASE WHEN len(tk) >= 3 THEN
+            CAST(len(tk) - 2 - len(list_distinct(list_transform(range(len(tk) - 2),
+                 i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))) AS DOUBLE)
+            / CAST(len(tk) - 2 AS DOUBLE)
+          ELSE 0e0 END AS trigram_rep
+        FROM t
         """,
         # full inverted-index twin of cpdd_spark.ngram.decontaminate:
         # same canonical tokenization and distinct-5-gram construction as

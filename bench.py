@@ -86,6 +86,8 @@ EXTRA = [
     "multimodal_features",  # REAL PNG/BMP encode+decode over every doc
     "audio_features",    # REAL WAV encode+decode+spectral features per doc
     "decontaminate",     # benchmark-overlap screen (broadcast probe grams)
+    "token_freq",        # corpus vocabulary counting (partial-agg + top-k)
+    "repetition",        # Gopher-style duplicate-n-gram fractions (JVM)
 ]
 
 

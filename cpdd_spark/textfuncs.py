@@ -182,3 +182,43 @@ def bpe_token_count(text: Column | str) -> Column:
     return F.size(
         F.filter(toks, lambda t: ~t.rlike(rf"^[{_WS}]+$"))
     ).cast("long")
+
+
+def token_frequencies(df, text_col: str = "text", top_k: int | None = None):
+    """Corpus token-frequency table ``(token, n)`` under the canonical
+    whitespace tokenization — the counting pass tokenizer/vocabulary
+    training starts from (and the input to frequency-based quality
+    screens). Plan: explode -> hash-aggregate on token (map-side partial
+    aggregation collapses each partition to its distinct tokens before
+    the shuffle, so shuffled volume is O(vocabulary), not O(corpus));
+    with ``top_k`` the ordered take compiles to TakeOrderedAndProject —
+    per-partition top-k heaps, no global sort. Ties break on the token
+    string so the cut is deterministic cross-engine."""
+    toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n").desc(), F.col("token").asc()
+        ).limit(top_k)
+    return counts
+
+
+def ngram_repetition(toks: Column, n: int) -> Column:
+    """Duplicate-``n``-gram fraction of a token array: ``1 -
+    distinct/total`` over the doc's n-gram multiset (0.0 when the doc has
+    no n-grams) — the Gopher-style within-document repetition signal
+    (line-level lives in the line-dedup op). Pure JVM expression; the
+    token array must be BOUND TO A COLUMN by the caller, never inlined —
+    the same higher-order-function re-evaluation hazard ngram_sets
+    documents."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    total = F.size(toks) - n + 1
+    # guard BELOW the sequence: size < n makes F.sequence count DOWN
+    return F.when(
+        F.size(toks) >= n,
+        (total - F.size(F.array_distinct(grams))).cast("double")
+        / total.cast("double"),
+    ).otherwise(F.lit(0.0))

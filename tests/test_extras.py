@@ -293,6 +293,43 @@ def test_audio_plumbing(spark, docs):
         audio_features(raw, strict=True).collect()
 
 
+def test_repetition_and_token_freq(spark):
+    """Hand-computable repetition fractions + vocabulary counting with a
+    deterministic tie-broken top-k cut."""
+    from cpdd_spark.textfuncs import ngram_repetition, token_frequencies, ws_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # bigrams: ab,ba,ab,ba,ab -> 5 total 2 distinct
+            (2, "all tokens differ completely here"),  # no repeats
+            (3, "x"),                  # sub-bigram -> 0.0 by convention
+            (4, "w w w w"),            # bigrams all 'w w' -> 2/3; trigrams 'w w w' -> 1/2
+        ],
+        "doc_id long, text string",
+    )
+    toks = df.select("doc_id", ws_tokens(F.col("text")).alias("__t"))
+    t = F.col("__t")
+    out = {
+        r["doc_id"]: r
+        for r in toks.select(
+            "doc_id",
+            ngram_repetition(t, 2).alias("b"),
+            ngram_repetition(t, 3).alias("g"),
+        ).collect()
+    }
+    assert out[1]["b"] == (5 - 2) / 5
+    assert out[2]["b"] == 0.0 and out[2]["g"] == 0.0
+    assert out[3]["b"] == 0.0
+    assert out[4]["b"] == (3 - 1) / 3 and out[4]["g"] == (2 - 1) / 2
+
+    freqs = token_frequencies(df, "text").collect()
+    by_tok = {r["token"]: r["n"] for r in freqs}
+    assert by_tok["a"] == 3 and by_tok["b"] == 3 and by_tok["w"] == 4
+    # top-k cut: ties (a==b==3) break on token string, so k=2 keeps w, a
+    top2 = [r["token"] for r in token_frequencies(df, "text", top_k=2).collect()]
+    assert top2 == ["w", "a"]
+
+
 def test_decontaminate_planted_overlap(spark):
     """Planted benchmark leakage: a corpus doc quoting a probe sentence
     verbatim is flagged with the exact shared-gram count; paraphrases

@@ -63,6 +63,17 @@ def test_region_revenue_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_token_freq_take_ordered(spark):
+    """The vocabulary top-100 must be per-partition heaps
+    (TakeOrderedAndProject), never a global sort of the whole count
+    table, and the count must partial-aggregate before the shuffle."""
+    import __spark_entry__ as entry_mod
+
+    plan = _plan(entry_mod.queries()["token_freq"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
 def test_decontaminate_broadcasts_probe_grams(spark):
     """The decontamination screen must broadcast the probe-gram union
     (map-side semi-join against the corpus-side explode), never shuffle
