@@ -15,6 +15,10 @@ cpdd (file tree)                cpdd_spark (transcript tables)
                                 vs emit pointer rows)
 ``-n/--no-clobber``             ``--no-resume`` OFF by default: committed
                                 stages are never overwritten (resume)
+``-i/--interactive``            ``-i`` with ``--no-resume``: confirm before
+                                overwriting committed stage tables (one
+                                prompt per run — the overwrite unit is a
+                                table, not a file; non-TTY stdin refuses)
 ``-p/--preserve``               ``--preserve`` (carry role/tool/ts structs
                                 through assembly, R14)
 ``--stats`` / ``-h``            ``--stats`` (disposition summary with
@@ -96,6 +100,14 @@ def build_parser() -> argparse.ArgumentParser:
         "from stored shingle sets, persist any legacy-layout migration) — "
         "run between streaming runs, never concurrently with one",
     )
+    p.add_argument(
+        "-i", "--interactive", action="store_true",
+        help="with --no-resume: ask before overwriting committed stage "
+        "tables (cpdd -i at table granularity — one confirmation per run, "
+        "since the overwrite unit here is a stage table, not a file); "
+        "refuses on a non-interactive stdin instead of silently "
+        "overwriting",
+    )
     p.add_argument("--stats", action="store_true", help="print dedup statistics")
     p.add_argument("--tau", type=float, default=None, help="Jaccard threshold")
     p.add_argument(
@@ -161,6 +173,40 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 n = 0
             print(f"streaming clusters index: {n} rows -> {clusters_dir}")
             return 0
+        if args.interactive and args.no_resume:
+            # cpdd's -i prompt (/root/reference/src/cpdd/args.c:161-174,
+            # copy.c:73-96) before clobbering existing outputs. The
+            # overwrite unit is a committed stage table, so the prompt is
+            # per run; EOF/non-TTY answers 'no', like getchar() on a
+            # closed stdin.
+            from cpdd_spark.io import TableIO
+
+            probe = TableIO(spark, args.workdir)
+            committed = [
+                s for s in (
+                    "documents", "exact_clusters", "signatures",
+                    "verified_pairs", "substring_pairs", "clusters",
+                    "clusters_docs", "documents_meta",
+                )
+                if probe.exists(s)
+            ]
+            if committed:
+                names = ", ".join(committed)
+                if not sys.stdin.isatty():
+                    print(
+                        f"cpdd_spark: refusing to overwrite {len(committed)} "
+                        f"committed stage table(s) in {args.workdir} "
+                        f"({names}): -i with non-interactive stdin",
+                        file=sys.stderr,
+                    )
+                    return 2
+                reply = input(
+                    f"overwrite {len(committed)} committed stage table(s) "
+                    f"in {args.workdir} ({names})? [y/N] "
+                )
+                if reply.strip().lower() not in ("y", "yes"):
+                    print("aborted", file=sys.stderr)
+                    return 2
         turns = spark.read.parquet(*args.input)
         if args.preserve:
             # materialize a metadata-preserving documents table alongside

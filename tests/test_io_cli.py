@@ -153,6 +153,46 @@ def test_cli_end_to_end(spark, turns_df, tmp_path, capsys):
     )
 
 
+def test_cli_interactive_overwrite_guard(spark, turns_df, tmp_path, capsys,
+                                         monkeypatch):
+    """cpdd's -i analogue: with --no-resume over committed stage tables,
+    a non-TTY stdin refuses, 'n' aborts, 'y' proceeds; without
+    --no-resume the flag is inert (resume never overwrites)."""
+    import sys as _sys
+
+    turns_dir = str(tmp_path / "turns")
+    turns_df.write.parquet(turns_dir)
+    workdir = str(tmp_path / "work")
+    base = ["--input", turns_dir, "--workdir", workdir, "--no-substring"]
+    assert main(base, spark=spark) == 0
+    capsys.readouterr()
+
+    # non-interactive stdin (pytest's): refuse rather than overwrite
+    rc = main(base + ["-i", "--no-resume"], spark=spark)
+    assert rc == 2
+    assert "refusing to overwrite" in capsys.readouterr().err
+
+    # a TTY answering 'n' aborts
+    monkeypatch.setattr(_sys.stdin, "isatty", lambda: True)
+    monkeypatch.setattr("builtins.input", lambda prompt: "n")
+    rc = main(base + ["-i", "--no-resume"], spark=spark)
+    assert rc == 2
+    assert "aborted" in capsys.readouterr().err
+
+    # 'y' proceeds with the overwrite run
+    monkeypatch.setattr("builtins.input", lambda prompt: "y")
+    rc = main(base + ["-i", "--no-resume"], spark=spark)
+    assert rc == 0
+    assert "clusters table committed" in capsys.readouterr().out
+
+    # -i without --no-resume never prompts (resume is no-clobber already)
+    monkeypatch.setattr(
+        "builtins.input",
+        lambda prompt: (_ for _ in ()).throw(AssertionError("prompted")),
+    )
+    assert main(base + ["-i"], spark=spark) == 0
+
+
 def test_cli_stream_mode(spark, tmp_path, capsys):
     """--stream drives IncrementalDedup with the near tier: batch files
     land, a rerun picks up a near-dup and links it across invocations."""
