@@ -187,6 +187,13 @@ def decontaminate(
     Tokenization and gram construction are :func:`ngram_sets`, so
     "n-gram" means exactly what the dedup screens mean by it.
 
+    The returned table is the SCORING view (one row per input doc,
+    which costs one id-join over the corpus). The at-scale FILTER step
+    should instead anti-join the corpus against the hit ids above
+    threshold — that set is O(contamination), normally tiny and
+    broadcastable, so the ship-the-clean-corpus pass stays shuffle-free
+    on the corpus side.
+
     Reference analogue: the probe union is cpdd's reference index
     (matching.c:255-318) with n-grams in place of whole files — probe
     membership decides disposition, first-match short-circuit replaced
