@@ -227,7 +227,28 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> ``(H, W, C)`` uint8 (C = 1 gray or 3 RGB)."""
+    """Baseline JPEG -> ``(H, W, C)`` uint8 (C = 1 gray or 3 RGB).
+
+    Error contract (the boundary ``extract_features(strict=False)``
+    relies on): any malformed stream raises :class:`CodecError`. The
+    named validations below cover structural damage, but a corrupted
+    ENTROPY stream can violate decoder invariants at many points
+    (Huffman code past its table, coefficient counts that no longer
+    match the zigzag scatter, a zero in a quant table) — fuzzing
+    surfaced IndexError/ValueError escaping from those, each of which
+    would fail a whole Spark task instead of NULLing one row. The
+    wrapper converts every such interpreter-level error into
+    CodecError, keeping decode-or-refuse airtight."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (CodecError, NotImplementedError):
+        raise
+    except (IndexError, ValueError, KeyError, ZeroDivisionError,
+            OverflowError, struct.error) as e:
+        raise CodecError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (missing SOI)")
     pos = 2

@@ -22,6 +22,46 @@ from cpdd_spark.jpeg import (
 )
 
 
+def test_decode_error_contract_under_fuzz():
+    """The boundary extract_features(strict=False) relies on: EVERY
+    malformed payload raises CodecError (or NotImplementedError), never
+    an interpreter-level error — one IndexError from a corrupt entropy
+    stream would fail a whole Spark task instead of NULLing one row.
+    Seeded fuzz over garbage-after-magic, truncations, and byte flips,
+    for every shipped decoder."""
+    from cpdd_spark.gif import decode_gif, encode_gif
+    from cpdd_spark.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
+    cases = [
+        (decode_jpeg, b"\xff\xd8\xff", encode_jpeg(gray)),
+        (decode_gif, b"GIF89a", encode_gif(gray)),
+        (decode_wav, b"RIFF\x24\x00\x00\x00WAVE",
+         encode_wav((gray.astype(np.int16) - 128).ravel())),
+    ]
+    for decode, magic, good in cases:
+        for trial in range(600):
+            kind = trial % 3
+            if kind == 0:
+                tail = rng.integers(
+                    0, 256, size=int(rng.integers(0, 300))
+                ).astype(np.uint8).tobytes()
+                p = magic + tail
+            elif kind == 1:
+                p = good[: int(rng.integers(0, len(good)))]
+            else:
+                b = bytearray(good)
+                for _ in range(int(rng.integers(1, 6))):
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+                p = bytes(b)
+            try:
+                decode(p)
+            except (CodecError, NotImplementedError):
+                pass
+            # anything else propagates and fails the test
+
+
 def test_roundtrip_smooth_rgb_close():
     """JPEG is lossy; on a smooth gradient at quality 90 the round trip
     must stay within a few code values everywhere (DCT quantization
