@@ -202,7 +202,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
-        if len(data) != length:
+        # the CRC field after the data must also be present in full —
+        # a truncation inside it surfaced as struct.error under fuzzing,
+        # which escapes the CodecError-only contract
+        if len(data) != length or pos + 12 + length > len(payload):
             raise CodecError("truncated chunk")
         (crc,) = struct.unpack(
             ">I", payload[pos + 8 + length : pos + 12 + length]
@@ -210,6 +213,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise CodecError(f"CRC mismatch in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise CodecError(f"IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             if len(data) == 0 or len(data) % 3:

@@ -29,6 +29,9 @@ def test_decode_error_contract_under_fuzz():
     stream would fail a whole Spark task instead of NULLing one row.
     Seeded fuzz over garbage-after-magic, truncations, and byte flips,
     for every shipped decoder."""
+    from cpdd_spark.codecs import (
+        decode_bmp, decode_png, decode_pnm, encode_bmp, encode_png, encode_pnm,
+    )
     from cpdd_spark.gif import decode_gif, encode_gif
     from cpdd_spark.wav import decode_wav, encode_wav
 
@@ -39,6 +42,9 @@ def test_decode_error_contract_under_fuzz():
         (decode_gif, b"GIF89a", encode_gif(gray)),
         (decode_wav, b"RIFF\x24\x00\x00\x00WAVE",
          encode_wav((gray.astype(np.int16) - 128).ravel())),
+        (decode_png, b"\x89PNG\r\n\x1a\n", encode_png(gray)),
+        (decode_bmp, b"BM", encode_bmp(np.dstack([gray] * 3))),
+        (decode_pnm, b"P5", encode_pnm(gray)),
     ]
     for decode, magic, good in cases:
         for trial in range(600):
