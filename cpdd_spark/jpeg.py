@@ -186,6 +186,11 @@ class _BitReader:
                 self.pos += 1
             self.bitbuf = (self.bitbuf << 8) | b
             self.nbits += 8
+        # Mask to the live bits: consumed bits above nbits must not keep
+        # shifting left forever, or bitbuf becomes an ever-growing bigint
+        # and every subsequent shift/OR costs O(scan size) — a quadratic
+        # blowup (30.6s -> 1.3s on a 512x512 decode, bit-identical output).
+        self.bitbuf &= (1 << self.nbits) - 1
 
     def read_bit(self) -> int:
         if self.nbits == 0:
@@ -213,9 +218,19 @@ class _BitReader:
         self.bitbuf = 0
         self.nbits = 0
         d = self.data
-        # skip to the marker (any partial byte already consumed via bits)
-        while self.pos < len(d) and d[self.pos] != 0xFF:
-            self.pos += 1
+        # skip to the marker (any partial byte already consumed via bits);
+        # a byte-aligned 1-padding byte of 0xFF is emitted STUFFED as
+        # FF 00 (T.81 B.1.1.5), so a stuffing pair before the RSTn is a
+        # conformant stream — step over it rather than misreading it as
+        # a malformed marker.
+        while self.pos < len(d):
+            if d[self.pos] != 0xFF:
+                self.pos += 1
+                continue
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2
+                continue
+            break
         if self.pos + 1 >= len(d) or not (0xD0 <= d[self.pos + 1] <= 0xD7):
             raise CodecError("expected restart marker")
         self.pos += 2
@@ -226,7 +241,7 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
+def decode_jpeg(payload: bytes, scalar: bool = False) -> np.ndarray:
     """Baseline JPEG -> ``(H, W, C)`` uint8 (C = 1 gray or 3 RGB).
 
     Error contract (the boundary ``extract_features(strict=False)``
@@ -238,9 +253,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     surfaced IndexError/ValueError escaping from those, each of which
     would fail a whole Spark task instead of NULLing one row. The
     wrapper converts every such interpreter-level error into
-    CodecError, keeping decode-or-refuse airtight."""
+    CodecError, keeping decode-or-refuse airtight.
+
+    ``scalar=True`` routes through the bit-at-a-time from-spec scan
+    decoder (:func:`_decode_scan_scalar`); the default is the LUT-based
+    vectorized path (:func:`_decode_scan`). A property test asserts the
+    two produce identical pixels."""
     try:
-        return _decode_jpeg_inner(payload)
+        return _decode_jpeg_inner(payload, scalar=scalar)
     except (CodecError, NotImplementedError):
         raise
     except (IndexError, ValueError, KeyError, ZeroDivisionError,
@@ -248,7 +268,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise CodecError(f"malformed JPEG stream: {type(e).__name__}: {e}") from e
 
 
-def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
+def _decode_jpeg_inner(payload: bytes, scalar: bool = False) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise CodecError("not a JPEG (missing SOI)")
     pos = 2
@@ -260,6 +280,9 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise CodecError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -291,7 +314,11 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
                 bits = [0] + list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                htables[(tc, th)] = _build_decode_table(bits, vals)
+                # stored as the raw (bits, huffval) spec so each scan
+                # path can build its preferred structure: the scalar
+                # reference a (length, code)->symbol dict, the fast path
+                # a cached peek-16 flat lookup table
+                htables[(tc, th)] = (tuple(bits), tuple(vals))
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
@@ -318,7 +345,8 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel[cs] = (tt >> 4, tt & 0xF)
-            return _decode_scan(
+            fn = _decode_scan_scalar if scalar else _decode_scan
+            return fn(
                 payload, pos + seglen, frame, scan_sel, qtables, htables,
                 restart_interval,
             )
@@ -326,16 +354,66 @@ def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     raise CodecError("no scan data (missing SOS)")
 
 
-def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interval):
+def _scan_geometry(frame, scan_sel):
+    """Validated scan layout shared by both scan decoders.
+
+    T.81 §A.2: a scan with ONE component is NON-interleaved — its MCU is
+    a single data unit walked in raster order over ceil(w/8) x ceil(h/8)
+    blocks, regardless of the frame-level sampling factors (a grayscale
+    SOF0 may legally declare 2x2). Interleaved geometry applies only to
+    multi-component scans. A multi-component frame decoded through
+    several single-component scans (baseline non-interleaved mode) is
+    out of scope and refused loudly rather than decoded misplaced.
+    """
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     if h == 0 or w == 0:
         raise CodecError("zero-dimension image")
+    if len(scan_sel) != len(comps):
+        raise CodecError(
+            "non-interleaved multi-scan JPEG (scan covers "
+            f"{len(scan_sel)} of {len(comps)} components) is not supported"
+        )
+    if len(comps) == 1:
+        comps = [dict(comps[0], h=1, v=1)]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax < 1 or vmax < 1 or hmax > 2 or vmax > 2:
         raise CodecError(f"unsupported sampling factors ({hmax}x{vmax})")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
+    return h, w, comps, hmax, vmax, mcux, mcuy
+
+
+def _planes_to_image(planes, comps, h, w, hmax, vmax):
+    """Level-shift, upsample, crop, and color-convert decoded planes."""
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        # upsample to full MCU-aligned resolution (nearest: T.81 leaves
+        # the filter to the decoder)
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    if len(out_planes) != 3:
+        raise CodecError(f"unsupported component count {len(out_planes)}")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan_scalar(payload, pos, frame, scan_sel, qtables, htables,
+                        restart_interval):
+    """Bit-at-a-time from-spec scan decoder (T.81 §F.2), kept as the
+    property-test reference for :func:`_decode_scan` — same pattern as
+    codecs.py's ``_unfilter_scalar`` vs the vectorized PNG unfilter."""
+    h, w, comps, hmax, vmax, mcux, mcuy = _scan_geometry(frame, scan_sel)
     planes = []
     for c in comps:
         if c["tq"] not in qtables:
@@ -343,6 +421,8 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interv
         planes.append(
             np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
         )
+    dicts = {k: _build_decode_table(list(b), list(v))
+             for k, (b, v) in htables.items()}
     reader = _BitReader(payload, pos)
     pred = [0] * len(comps)
     idct_t = DCT_BASIS.T
@@ -354,8 +434,8 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interv
                 pred = [0] * len(comps)
             for ci, c in enumerate(comps):
                 try:
-                    dc_tab = htables[(0, scan_sel[c["id"]][0])]
-                    ac_tab = htables[(1, scan_sel[c["id"]][1])]
+                    dc_tab = dicts[(0, scan_sel[c["id"]][0])]
+                    ac_tab = dicts[(1, scan_sel[c["id"]][1])]
                 except KeyError as e:
                     raise CodecError(f"missing Huffman table for component {c['id']}") from e
                 q = qtables[c["tq"]]
@@ -388,26 +468,226 @@ def _decode_scan(payload, pos, frame, scan_sel, qtables, htables, restart_interv
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
             mcu_count += 1
-    out_planes = []
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# fast scan decoder: destuffed segments + peek-16 Huffman LUT + batched IDCT
+# ---------------------------------------------------------------------------
+
+# (bits, huffval) -> flat 65536-entry list; entry = (code_length << 8) | symbol,
+# 0 = invalid window. Cached because building one costs ~10ms and real corpora
+# reuse a handful of tables (very often the Annex K examples).
+_LUT_CACHE: dict = {}
+
+
+def _build_lut(bits, vals):
+    key = (bits, vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [0] * 65536
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length]):
+            start = code << (16 - length)
+            end = (code + 1) << (16 - length)
+            lut[start:end] = [(length << 8) | vals[k]] * (end - start)
+            k += 1
+            code += 1
+        code <<= 1
+    if len(_LUT_CACHE) > 64:  # bound memory under adversarial many-table input
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = lut
+    return lut
+
+
+def _split_entropy_segments(payload: bytes, pos: int) -> list[bytes]:
+    """Slice the scan's entropy-coded data into destuffed segments, one
+    per restart interval (split at RSTn markers, terminated by any other
+    marker or end of stream). Stuffed FF 00 pairs are removed; 0xFF fill
+    bytes before a marker destuff to trailing 1-bits, which is exactly
+    the padding the reader synthesizes anyway."""
+    segs = []
+    start = pos
+    i = pos
+    n = len(payload)
+    while True:
+        j = payload.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(payload[start:n])
+            break
+        nxt = payload[j + 1]
+        if nxt == 0x00:  # stuffed data byte
+            i = j + 2
+        elif 0xD0 <= nxt <= 0xD7:  # restart marker: segment boundary
+            segs.append(payload[start:j])
+            start = i = j + 2
+        elif nxt == 0xFF:  # fill byte before a marker
+            i = j + 1
+        else:  # EOI or next segment marker: scan ends
+            segs.append(payload[start:j])
+            break
+    return [s.replace(b"\xff\x00", b"\xff") for s in segs]
+
+
+class _SegReader:
+    """MSB-first bit reader over one destuffed entropy segment. The
+    accumulator is masked to its live bits on every consume, so it stays
+    a machine-word-sized int (the unmasked variant degrades to O(n^2)
+    bigint arithmetic over a long scan)."""
+
+    __slots__ = ("buf", "n", "pos", "acc", "nbits")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.n = len(buf)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        pos = self.pos
+        take = self.n - pos
+        if take > 0:
+            if take > 6:
+                take = 6
+            self.acc = (self.acc << (8 * take)) | int.from_bytes(
+                self.buf[pos : pos + take], "big"
+            )
+            self.nbits += 8 * take
+            self.pos = pos + take
+        else:
+            # pad with 1-bits per spec past the last entropy byte
+            self.acc = (self.acc << 16) | 0xFFFF
+            self.nbits += 16
+
+    def peek16(self) -> int:
+        while self.nbits < 16:
+            self._fill()
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        nb = self.nbits - k
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        while self.nbits < k:
+            self._fill()
+        nb = self.nbits - k
+        v = self.acc >> nb
+        self.nbits = nb
+        self.acc &= (1 << nb) - 1
+        return v
+
+
+def _decode_scan(payload, pos, frame, scan_sel, qtables, htables,
+                 restart_interval):
+    """LUT + batch scan decoder, the default path.
+
+    Same decoded pixels as :func:`_decode_scan_scalar` (property-tested),
+    restructured for throughput: the entropy stream is destuffed once and
+    split at restart markers; Huffman symbols resolve through a peek-16
+    flat table (one list index + shift per symbol instead of a bit-at-a-
+    time tree walk); coefficients accumulate into flat index/value lists
+    and every numpy op — de-zigzag scatter, dequantization, the 8x8
+    DCT-III, plane assembly — runs ONCE per component over all blocks
+    (np.matmul broadcasts the same float64 8x8 product per block slice,
+    preserving the per-block bit-determinism the pinned oracle needs).
+    """
+    h, w, comps, hmax, vmax, mcux, mcuy = _scan_geometry(frame, scan_sel)
+    ncomp = len(comps)
+    zz_nat = [int(x) for x in ZIGZAG]  # zigzag index -> natural position
+    info = []
+    for c in comps:
+        if c["tq"] not in qtables:
+            raise CodecError(f"missing quant table {c['tq']}")
+        try:
+            dc_spec = htables[(0, scan_sel[c["id"]][0])]
+            ac_spec = htables[(1, scan_sel[c["id"]][1])]
+        except KeyError as e:
+            raise CodecError(f"missing Huffman table for component {c['id']}") from e
+        info.append((
+            _build_lut(*dc_spec), _build_lut(*ac_spec),
+            c["v"] * c["h"], [], [],  # blocks per MCU, flat idxs, vals
+        ))
+    segs = _split_entropy_segments(payload, pos)
+    seg_idx = 0
+    rd = _SegReader(segs[0])
+    preds = [0] * ncomp
+    nblocks = [0] * ncomp
+    mcu_count = 0
+    for _ in range(mcuy * mcux):
+        if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise CodecError("expected restart marker")
+            rd = _SegReader(segs[seg_idx])
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            dc_lut, ac_lut, per_mcu, idxs, vals = info[ci]
+            pred = preds[ci]
+            for _ in range(per_mcu):
+                base = nblocks[ci] * 64
+                nblocks[ci] += 1
+                e = dc_lut[rd.peek16()]
+                if e == 0:
+                    raise CodecError("invalid Huffman code in scan")
+                rd.skip(e >> 8)
+                t = e & 0xFF
+                if t:
+                    diff = rd.read_bits(t)
+                    if diff < (1 << (t - 1)):
+                        diff += 1 - (1 << t)
+                    pred += diff
+                idxs.append(base)
+                vals.append(pred)
+                k = 1
+                while k < 64:
+                    e = ac_lut[rd.peek16()]
+                    if e == 0:
+                        raise CodecError("invalid Huffman code in scan")
+                    rd.skip(e >> 8)
+                    rs = e & 0xFF
+                    s = rs & 0xF
+                    if s == 0:
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise CodecError("AC run past end of block")
+                    v = rd.read_bits(s)
+                    if v < (1 << (s - 1)):
+                        v += 1 - (1 << s)
+                    idxs.append(base + zz_nat[k])
+                    vals.append(v)
+                    k += 1
+            preds[ci] = pred
+        mcu_count += 1
+    if seg_idx != len(segs) - 1:
+        raise CodecError("unexpected restart marker in scan")
+    idct_t = DCT_BASIS.T
+    planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci] + 128.0
-        # upsample to full MCU-aligned resolution (nearest: T.81 leaves
-        # the filter to the decoder)
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        out_planes.append(p[:h, :w])
-    if len(out_planes) == 1:
-        gray = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
-        return gray[:, :, None]
-    if len(out_planes) != 3:
-        raise CodecError(f"unsupported component count {len(out_planes)}")
-    y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        _, _, _, idxs, vals = info[ci]
+        flat = np.zeros(nblocks[ci] * 64, dtype=np.int64)
+        if idxs:
+            flat[np.asarray(idxs, dtype=np.int64)] = np.asarray(vals, dtype=np.int64)
+        coefs = flat.reshape(-1, 8, 8) * qtables[c["tq"]]
+        pix = np.matmul(idct_t, coefs.astype(np.float64)) @ DCT_BASIS
+        # blocks arrive MCU-interleaved: (my, mx, by, bx) -> grid position
+        rows_n, cols_n = mcuy * c["v"], mcux * c["h"]
+        i0, i1, i2, i3 = np.indices((mcuy, mcux, c["v"], c["h"]))
+        grid = np.zeros((rows_n, cols_n, 8, 8), dtype=np.float64)
+        grid[(i0 * c["v"] + i2).ravel(), (i1 * c["h"] + i3).ravel()] = pix
+        planes.append(grid.transpose(0, 2, 1, 3).reshape(rows_n * 8, cols_n * 8))
+    return _planes_to_image(planes, comps, h, w, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -430,6 +710,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # mask consumed bits away (same quadratic-bigint hazard as the
+        # reader's _fill; bit-identical output)
+        self.acc &= (1 << self.nacc) - 1
 
     def flush(self) -> None:
         if self.nacc:
@@ -484,9 +767,17 @@ def _encode_block(bw, block, q, dc_tab, ac_tab, pred):
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg(arr: np.ndarray, quality: int = 85,
+                restart_interval: int = 0) -> bytes:
     """``(H, W)``/``(H, W, 1)`` gray or ``(H, W, 3)`` RGB uint8 ->
-    baseline JPEG bytes (4:4:4, Annex K tables at the given quality)."""
+    baseline JPEG bytes (4:4:4, Annex K tables at the given quality).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (T.81 §B.2.4.4) — the framing near-universal in
+    camera/libjpeg output; used by tests to pin the decoder's restart
+    path, including the stuffed FF 00 pad byte that can precede an RSTn.
+    The quantized coefficients are unchanged, so decoded pixels are
+    bit-identical with and without restarts."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -525,6 +816,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
     ] + ([] if ch == 1 else [(0x01, HUFF_DC_CHROMA), (0x11, HUFF_AC_CHROMA)])
     for tid, (bits, vals) in tables:
         seg(0xC4, bytes([tid]) + bytes(bits[1:17]) + bytes(vals))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for c in range(ncomp):
         sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -548,8 +841,15 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85) -> bytes:
         pp[h:, :w] = p[h - 1 : h, :]  # edge-replicate padding
         pp[:, w:] = pp[:, w - 1 : w]
         padded.append(pp - 128.0)
+    mcu_count = 0
     for by in range(by_blocks):
         for bx in range(bx_blocks):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                m = (mcu_count // restart_interval - 1) & 7
+                bw.out.extend((0xFF, 0xD0 + m))
+                preds = [0] * len(planes)
+            mcu_count += 1
             for ci, (_, q, kind) in enumerate(planes):
                 dc_tab = enc["dcl"] if kind == 0 else enc["dcc"]
                 ac_tab = enc["acl"] if kind == 0 else enc["acc"]

@@ -71,6 +71,21 @@ MAGIC_PREFIXES = [
 ]
 
 
+def _spread_for_python_kernel(df: DataFrame) -> DataFrame:
+    """Repartition a Python-kernel input to cluster parallelism.
+
+    The media tiers are the engine's only interpreted-Python hot path; a
+    single small parquet file scans as ONE partition, which would run the
+    whole Arrow kernel chain (encode -> decode -> features) on one core —
+    measured 1/32 utilization on the sf0.1 bench before this (the r6
+    multimodal_features 0.8 s -> 3.1 s "regression" was this shape paying
+    for the new JPEG/GIF rotation serially). The shuffle moves only the
+    tiny (id, text) projection; at cluster scale the same call spreads
+    object-storage payload batches across executors."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def format_col(payload) -> "F.Column":
     """Container-format sniff as a PURE JVM expression (hex prefix match on
     the first bytes — codegen, no Python): ``unknown`` when no signature
@@ -314,9 +329,11 @@ def text_to_image_media(
                 }
             )
 
-    base = df.select(
-        F.col(id_col).cast("string").alias("media_id"),
-        F.col(text_col).cast("string").alias("text"),
+    base = _spread_for_python_kernel(
+        df.select(
+            F.col(id_col).cast("string").alias("media_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
     )
     media = base.mapInPandas(
         kernel, schema="media_id string, kind string, payload binary"
@@ -423,9 +440,11 @@ def text_to_audio_media(
                 }
             )
 
-    base = df.select(
-        F.col(id_col).cast("string").alias("media_id"),
-        F.col(text_col).cast("string").alias("text"),
+    base = _spread_for_python_kernel(
+        df.select(
+            F.col(id_col).cast("string").alias("media_id"),
+            F.col(text_col).cast("string").alias("text"),
+        )
     )
     media = base.mapInPandas(
         kernel, schema="media_id string, kind string, payload binary"

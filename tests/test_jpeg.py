@@ -209,3 +209,128 @@ def test_multimodal_dispatch_includes_jpeg():
     dec = decode_image(enc)
     assert dec.shape == (16, 16, 1)
     assert np.abs(dec[:, :, 0].astype(int) - img.astype(int)).max() <= 6
+
+
+def _gradient_rgb(h, w):
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 200, h)
+    img = np.clip(
+        np.add.outer(y, x / 2)[:, :, None] + np.array([0, 30, 60])[None, None, :],
+        0, 255,
+    )
+    return img.astype(np.uint8)
+
+
+def test_fast_scan_equals_scalar_reference():
+    """The LUT/batched default scan decoder must produce BIT-identical
+    pixels to the bit-at-a-time from-spec reference (same pattern as the
+    PNG unfilter's vectorized-vs-scalar property test) across gray/RGB,
+    odd dims, quality extremes, restart intervals, and high-entropy
+    streams that exercise byte stuffing."""
+    rng = np.random.default_rng(23)
+    payloads = [
+        encode_jpeg(_gradient_rgb(24, 40), quality=90),
+        encode_jpeg(_gradient_rgb(13, 21), quality=35),
+        encode_jpeg(rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8), 100),
+        encode_jpeg(rng.integers(0, 256, size=(17, 9), dtype=np.uint8), 100),
+        encode_jpeg(_gradient_rgb(16, 16), quality=85, restart_interval=1),
+        encode_jpeg(rng.integers(0, 256, size=(32, 24), dtype=np.uint8),
+                    quality=95, restart_interval=2),
+    ]
+    for p in payloads:
+        fast = decode_jpeg(p)
+        ref = decode_jpeg(p, scalar=True)
+        assert fast.shape == ref.shape
+        assert fast.tobytes() == ref.tobytes()
+
+
+def test_restart_interval_roundtrip_and_framing():
+    """Restart markers change only the entropy framing: pixels decode
+    bit-identical to the restart-free stream, DC predictors reset per
+    interval, and both scan decoders agree. Also hunts (seeded) for the
+    conformant edge the scalar reader must survive: a byte-aligned pad
+    byte of 0xFF stuffed as FF 00 immediately before an RSTn."""
+    rng = np.random.default_rng(31)
+    saw_stuffed_pad_before_rst = False
+    for trial in range(400):
+        img = rng.integers(0, 256, size=(8, 24), dtype=np.uint8)
+        plain = encode_jpeg(img, quality=100)
+        rst = encode_jpeg(img, quality=100, restart_interval=1)
+        assert any(bytes([0xFF, 0xD0 + m]) in rst for m in range(8))
+        a, b, c = decode_jpeg(plain), decode_jpeg(rst), decode_jpeg(rst, scalar=True)
+        assert a.tobytes() == b.tobytes() == c.tobytes()
+        for m in range(8):
+            if b"\xff\x00\xff" + bytes([0xD0 + m]) in rst:
+                saw_stuffed_pad_before_rst = True
+        if saw_stuffed_pad_before_rst and trial >= 40:
+            break
+    assert saw_stuffed_pad_before_rst
+
+
+def test_fill_bytes_before_marker_tolerated():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker; decoders must skip them, in both the marker-segment loop and
+    the entropy-terminating marker scan."""
+    img = _gradient_rgb(16, 16)
+    good = encode_jpeg(img, quality=90)
+    # fill byte before the DQT marker (first segment after SOI)
+    assert good[2:4] == b"\xff\xdb"
+    filled = good[:2] + b"\xff" + good[2:]
+    assert decode_jpeg(filled).tobytes() == decode_jpeg(good).tobytes()
+    assert decode_jpeg(filled, scalar=True).tobytes() == decode_jpeg(good).tobytes()
+    # fill byte before EOI (terminates the entropy scan)
+    assert good.endswith(b"\xff\xd9")
+    filled_eoi = good[:-2] + b"\xff" + good[-2:]
+    assert decode_jpeg(filled_eoi).tobytes() == decode_jpeg(good).tobytes()
+
+
+def test_single_component_scan_is_non_interleaved():
+    """T.81 A.2: a one-component scan is NON-interleaved even when the
+    SOF declares 2x2 sampling — MCU is one data unit, raster order over
+    ceil(w/8) x ceil(h/8) blocks. A valid 8x8 grayscale with declared
+    2x2 sampling therefore contains exactly ONE block, and must decode
+    to that block's pixels (not a silently misplaced 16-aligned grid)."""
+    dc_tab = _build_encode_table(*HUFF_DC_LUMA)
+    ac_tab = _build_encode_table(*HUFF_AC_LUMA)
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0]))
+    dht = seg(
+        0xC4, bytes([0x00]) + bytes(HUFF_DC_LUMA[0][1:17]) + bytes(HUFF_DC_LUMA[1])
+    ) + seg(
+        0xC4, bytes([0x10]) + bytes(HUFF_AC_LUMA[0][1:17]) + bytes(HUFF_AC_LUMA[1])
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    bw = _BitWriter()
+    # one block: DC diff = 64, EOB
+    t = 7
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    bw.write(64, t)
+    eob_code, eob_len = ac_tab[0x00]
+    bw.write(eob_code, eob_len)
+    bw.flush()
+    payload = b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out) + b"\xff\xd9"
+    for dec in (decode_jpeg(payload), decode_jpeg(payload, scalar=True)):
+        assert dec.shape == (8, 8, 1)
+        assert np.all(np.abs(dec[:, :, 0].astype(float) - (64 / 8 + 128)) <= 1.0)
+
+
+def test_large_decode_not_quadratic():
+    """The bit accumulators are masked to live bits: a 256x256 random
+    grayscale (a ~100KB entropy stream) must decode in well under a
+    second on this host — the unmasked bigint variant took tens of
+    seconds at 512x512 (O(n^2) in the scan length)."""
+    import time
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(256, 256), dtype=np.uint8)
+    enc = encode_jpeg(img, quality=95)
+    t0 = time.perf_counter()
+    dec = decode_jpeg(enc)
+    dt = time.perf_counter() - t0
+    assert dec.shape == (256, 256, 1)
+    assert dt < 2.0, f"decode took {dt:.2f}s — accumulator masking regressed?"
