@@ -335,7 +335,15 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference analogue: the tiered cascade computes the same clusters
     cheaper, README:46-73)."""
     docs = _assembled(spark, sf_dir).persist()
-    ec = exact_clusters(docs)
+    # cache the exact tier: ec is consumed twice (the reps filter AND
+    # exact_pairs) and its window sorts the FULL document text by
+    # (length, md5, doc) — uncached, both consumers replay that sort.
+    # persist(), NOT localCheckpoint: warm alternating A/B at sf0.1
+    # measured persist 5.9-6.5s vs plain 6.9-8.6s vs eager checkpoint
+    # 9.4-16s (the checkpoint's blocking job + stats-bearing leaf cost
+    # more than the saved recompute; cf. the streaming meltdown note in
+    # BENCH/BASELINE.md).
+    ec = exact_clusters(docs).persist()
     reps = docs.join(
         ec.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
         "conv_id",
@@ -355,6 +363,7 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         edges, vertices=docs.select("conv_id")
     ).localCheckpoint(eager=True)
+    ec.unpersist()
     docs.unpersist()
     return clusters
 
