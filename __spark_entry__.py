@@ -990,21 +990,22 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode end to end (T13): every document's text renders
-    into a genuine PNG, 24-bit BMP, binary PGM, baseline JPEG, or GIF
-    container (rotated by id CRC —
+    into a genuine PNG, 24-bit BMP, binary PGM, baseline JPEG, GIF, or
+    lossless WebP container (rotated by id CRC —
     cpdd_spark.multimodal.text_to_image_media), then extract_features
     zlib-inflates / unfilters / de-strides / Huffman-decodes+IDCTs /
-    LZW-expands the ACTUAL pixels back out and histograms them. Output
-    is the 20 lexicographically-first media rows (probe-sized, same
-    protocol as q_signatures: the decode kernel still runs over the
-    whole corpus underneath), pinned as a VALUES oracle — any drift in
-    the PNG writer, the inflate/unfilter path, the BMP stride handling,
-    the PGM header parse, the JPEG entropy coder/IDCT, the GIF
-    LZW/palette path, or the feature kernel breaks the hash (the JPEG
-    rows pin the LOSSY decoded pixels — also deterministic: fixed
-    tables, float64 matmul IDCT). The decoded histogram column is
-    float32; its to_json rendering is the hash-compared value (arrays
-    crash the driver canonicalizer's sort)."""
+    LZW-expands / VP8L-prefix-decodes the ACTUAL pixels back out and
+    histograms them. Output is the 20 lexicographically-first media rows
+    (probe-sized, same protocol as q_signatures: the decode kernel still
+    runs over the whole corpus underneath), pinned as a VALUES oracle —
+    any drift in the PNG writer, the inflate/unfilter path, the BMP
+    stride handling, the PGM header parse, the JPEG entropy coder/IDCT,
+    the GIF LZW/palette path, the VP8L prefix coder, or the feature
+    kernel breaks the hash (the JPEG rows pin the LOSSY decoded pixels —
+    also deterministic: fixed tables, float64 matmul IDCT). The decoded
+    histogram column is float32; its to_json rendering is the
+    hash-compared value (arrays crash the driver canonicalizer's
+    sort)."""
     media = text_to_image_media(
         _read(spark, sf_dir, "documents"), "doc_id", "text"
     )
@@ -1566,35 +1567,35 @@ def oracle_sql() -> dict[str, str]:
         # recall-only to the exact ranked lists; cosine doubles round-trip
         # exactly through repr -> DuckDB's correctly-rounded parser
         # REAL-decode pin: 20 media rows whose payloads are genuine
-        # PNG/BMP containers rendered from document text; the decoded
-        # pixel histograms below were produced by the pure-Python
-        # inflate/unfilter/de-stride path, so any codec or kernel drift
-        # breaks the hash (same pinned-VALUES protocol as ann_recall)
+        # PNG/BMP/PGM/JPEG/GIF/WebP containers rendered from document
+        # text; the decoded pixel histograms below were produced by the
+        # pure-Python decode paths, so any codec or kernel drift breaks
+        # the hash (same pinned-VALUES protocol as ann_recall)
         "multimodal_features": """
         SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes, format,
                CAST(width AS INT) AS width, CAST(height AS INT) AS height,
                CAST(channels AS INT) AS channels, features_json
         FROM (VALUES
-          ('0', 916, 'gif', 32, 5, 3, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('1', 555, 'jpeg', 32, 13, 1, '{"features":[0.026442308,0.067307696,0.100961536,0.0,0.0,0.07451923,0.40865386,0.30769232,0.014423077,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('10', 726, 'bmp', 32, 7, 3, '{"features":[0.04464286,0.0,0.16964285,0.0,0.0,0.0,0.49107143,0.29464287,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('100', 568, 'jpeg', 32, 15, 1, '{"features":[0.039583333,0.09166667,0.079166666,0.0,0.0,0.0625,0.42916667,0.2875,0.010416667,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('101', 822, 'bmp', 32, 8, 3, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('102', 571, 'jpeg', 32, 17, 1, '{"features":[0.053308822,0.08639706,0.07720588,0.0018382353,0.0,0.07169118,0.4154412,0.2867647,0.007352941,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('103', 581, 'jpeg', 32, 17, 1, '{"features":[0.03125,0.082720585,0.08639706,0.0,0.0,0.060661763,0.4595588,0.27389705,0.005514706,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('0', 354, 'webp', 32, 5, 3, '{"features":[0.01875,0.0,0.19375,0.0,0.0,0.0,0.49375,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('1', 780, 'webp', 32, 13, 3, '{"features":[0.024038462,0.0,0.17067307,0.0,0.0,0.0,0.48076922,0.32451922,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('10', 438, 'jpeg', 32, 7, 1, '{"features":[0.04464286,0.084821425,0.084821425,0.0,0.0,0.04910714,0.4375,0.28125,0.017857144,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('100', 288, 'png', 32, 15, 1, '{"features":[0.039583333,0.0,0.17083333,0.0,0.0,0.0,0.49166667,0.29791668,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('101', 268, 'pgm', 32, 8, 1, '{"features":[0.09375,0.0,0.16015625,0.0,0.0,0.0,0.5,0.24609375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('102', 288, 'png', 32, 17, 1, '{"features":[0.053308822,0.0,0.16544117,0.0,0.0,0.0,0.49264705,0.28860295,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('103', 299, 'png', 32, 17, 1, '{"features":[0.03125,0.0,0.16911764,0.0,0.0,0.0,0.5202206,0.27941176,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('104', 439, 'jpeg', 32, 8, 1, '{"features":[0.0390625,0.06640625,0.1015625,0.0,0.0,0.09765625,0.40625,0.27734375,0.01171875,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('105', 365, 'pgm', 32, 11, 1, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('106', 129, 'png', 32, 3, 1, '{"features":[0.27083334,0.0,0.125,0.0,0.0,0.0,0.375,0.22916667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('107', 440, 'jpeg', 32, 7, 1, '{"features":[0.05357143,0.07589286,0.09821428,0.0,0.0,0.058035713,0.4107143,0.29017857,0.013392857,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('105', 672, 'webp', 32, 11, 3, '{"features":[0.06818182,0.0,0.16761364,0.0,0.0,0.0,0.45170453,0.3125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('106', 427, 'jpeg', 32, 3, 1, '{"features":[0.27083334,0.0625,0.0625,0.0,0.0,0.03125,0.33333334,0.22916667,0.010416667,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('107', 726, 'bmp', 32, 7, 3, '{"features":[0.05357143,0.0,0.17410715,0.0,0.0,0.0,0.48660713,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('108', 878, 'gif', 32, 3, 3, '{"features":[0.104166664,0.0,0.15625,0.0,0.0,0.0,0.5416667,0.19791667,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('109', 1302, 'bmp', 32, 13, 3, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('11', 1004, 'gif', 32, 10, 3, '{"features":[0.05,0.0,0.178125,0.0,0.0,0.0,0.478125,0.29375,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('110', 856, 'gif', 32, 2, 3, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('111', 1686, 'bmp', 32, 17, 3, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('112', 235, 'png', 32, 11, 1, '{"features":[0.08522727,0.0,0.16193181,0.0,0.0,0.0,0.48863637,0.26420453,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('113', 1075, 'gif', 32, 14, 3, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('109', 1065, 'gif', 32, 13, 3, '{"features":[0.050480768,0.0,0.16586539,0.0,0.0,0.0,0.5144231,0.26923078,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('11', 525, 'jpeg', 32, 10, 1, '{"features":[0.05,0.084375,0.09375,0.0,0.0,0.078125,0.40625,0.275,0.0125,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('110', 198, 'webp', 32, 2, 3, '{"features":[0.15625,0.0,0.15625,0.0,0.0,0.0,0.484375,0.203125,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('111', 988, 'webp', 32, 17, 3, '{"features":[0.02757353,0.0,0.17095588,0.0,0.0,0.0,0.4852941,0.31617647,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('112', 1110, 'bmp', 32, 11, 3, '{"features":[0.08522727,0.0,0.16193181,0.0,0.0,0.0,0.48863637,0.26420453,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
+          ('113', 832, 'webp', 32, 14, 3, '{"features":[0.04464286,0.0,0.17410715,0.0,0.0,0.0,0.51339287,0.26785713,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
           ('114', 184, 'png', 32, 7, 1, '{"features":[0.07589286,0.0,0.15625,0.0,0.0,0.0,0.48214287,0.2857143,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}'),
-          ('115', 162, 'png', 32, 5, 1, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
+          ('115', 917, 'gif', 32, 5, 3, '{"features":[0.175,0.0,0.14375,0.0,0.0,0.0,0.4125,0.26875,0.0,0.0,0.0,0.0,0.0,0.0,0.0,0.0]}')
         ) AS t(media_id, n_bytes, format, width, height, channels, features_json)
         """,
         # audio twin of the multimodal pin: 20 media rows whose payloads

@@ -4,12 +4,13 @@ Treats image/audio/video as ``binary`` columns with a metadata struct,
 processed through Arrow-batched ``mapInPandas`` kernels. The decode path
 is REAL for PNG, BMP, binary netpbm (:mod:`cpdd_spark.codecs` —
 pure-Python zlib inflate + scanline unfilter / BI_RGB / P5-P6 read) and
-baseline JPEG (:mod:`cpdd_spark.jpeg` — from-spec Huffman + IDCT) and
-GIF (:mod:`cpdd_spark.gif` — LZW + palette + interlace): features are
-histograms of actual decoded pixels, resize re-encodes actual resampled
-rasters. WebP and the video containers remain documented stubs and
-raise ``NotImplementedError`` so a mislabeled blob fails loudly instead
-of producing wrong pixels.
+baseline JPEG (:mod:`cpdd_spark.jpeg` — from-spec Huffman + IDCT),
+GIF (:mod:`cpdd_spark.gif` — LZW + palette + interlace), and lossless
+WebP (:mod:`cpdd_spark.webp` — VP8L prefix codes + transforms): features
+are histograms of actual decoded pixels, resize re-encodes actual
+resampled rasters. Video containers (and lossy-VP8 WebP) remain
+documented stubs and raise ``NotImplementedError``/``CodecError`` so a
+mislabeled blob fails loudly instead of producing wrong pixels.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ from cpdd_spark.codecs import (
 )
 from cpdd_spark.gif import decode_gif, encode_gif
 from cpdd_spark.jpeg import decode_jpeg, encode_jpeg
+from cpdd_spark.webp import decode_webp, encode_webp
 from cpdd_spark.wav import decode_wav, encode_wav
 
 MEDIA_SCHEMA = (
@@ -128,6 +130,7 @@ _DECODERS = {
     "ppm": decode_pnm,
     "jpeg": decode_jpeg,
     "gif": decode_gif,
+    "webp": decode_webp,
 }
 
 
@@ -135,20 +138,21 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode a raster payload to ``(H, W, C)`` uint8 pixels.
 
     REAL for PNG, BMP, binary netpbm (PGM/PPM) (cpdd_spark.codecs),
-    baseline-sequential JPEG (cpdd_spark.jpeg), and GIF (cpdd_spark.gif);
-    every other container (WebP/video) raises ``NotImplementedError`` —
-    a silent stand-in would poison every feature downstream. Malformed
-    or unsupported-profile payloads of a supported format raise
-    :class:`CodecError` (CRC/marker checked, truncation detected,
-    progressive JPEG refused loudly)."""
+    baseline-sequential JPEG (cpdd_spark.jpeg), GIF (cpdd_spark.gif),
+    and lossless WebP/VP8L (cpdd_spark.webp); every other container
+    (video) raises ``NotImplementedError`` — a silent stand-in would
+    poison every feature downstream. Malformed or unsupported-profile
+    payloads of a supported format raise :class:`CodecError` (CRC/marker
+    checked, truncation detected, progressive JPEG and lossy-VP8 WebP
+    refused loudly)."""
     fmt = sniff_format(payload)
     dec = _DECODERS.get(fmt)
     if dec is None:
         raise NotImplementedError(
             f"no codec for container format {fmt!r}: PNG, BMP, "
-            "binary netpbm, baseline JPEG, and GIF decode natively; "
-            "WebP and video formats require an imaging library not "
-            "present in this environment"
+            "binary netpbm, baseline JPEG, GIF, and lossless WebP "
+            "decode natively; video formats require a media library "
+            "not present in this environment"
         )
     return dec(payload)
 
@@ -293,8 +297,8 @@ def text_to_image_media(
     grayscale raster of fixed ``width`` (pixels = bytes, zero-padded,
     height capped at ``max_height``). With ``mixed_formats`` the
     container rotates by id CRC across PNG / 24-bit BMP / binary PGM /
-    baseline JPEG / GIF, so one table exercises every implemented
-    decoder (including the lossy entropy-coded path and the LZW palette
+    baseline JPEG / GIF / lossless WebP, so one table exercises every
+    implemented decoder (including the lossy entropy-coded path and the LZW palette
     path); otherwise all PNG.
 
     This is the sandbox's deterministic media source: downstream decode /
@@ -318,8 +322,8 @@ def text_to_image_media(
                 if mixed_formats:
                     enc = (
                         encode_png, encode_bmp, encode_pnm, encode_jpeg,
-                        encode_gif,
-                    )[_zlib.crc32(str(mid).encode("utf-8")) % 5]
+                        encode_gif, encode_webp,
+                    )[_zlib.crc32(str(mid).encode("utf-8")) % 6]
                 payloads.append(enc(arr))
             yield pd.DataFrame(
                 {

@@ -199,7 +199,9 @@ def test_multimodal_plumbing(spark, docs):
     media = text_to_image_media(docs.limit(50), "doc_id", "text")
     feats = extract_features(media).collect()
     assert len(feats) == 50
-    assert {r["format"] for r in feats} == {"png", "bmp", "pgm", "jpeg", "gif"}
+    assert {r["format"] for r in feats} == {
+        "png", "bmp", "pgm", "jpeg", "gif", "webp",
+    }
     for r in feats:
         assert len(r["features"]) == 16
         assert abs(sum(r["features"]) - 1.0) < 1e-3
@@ -213,8 +215,8 @@ def test_multimodal_plumbing(spark, docs):
     # undecodable format raises; corrupt PNG raises CodecError, and
     # strict=False absorbs both to nulls (tested above) while
     # strict=True propagates
-    with pytest.raises(NotImplementedError):
-        # webp magic — still a stub (gif/jpeg decode for real now)
+    with pytest.raises(CodecError):
+        # lossy VP8 WebP refuses loudly (only lossless VP8L decodes)
         decode_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
     # jpeg/gif decode for real now; malformed ones raise CodecError
     with pytest.raises(CodecError):
@@ -576,9 +578,15 @@ def test_multimodal_resize_and_pool_plumbing(spark):
         arr = decode_png(bytes(r["payload"]))  # output is a REAL PNG
         assert arr.shape[:2] == (4, 8)
         assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
-    with _pytest.raises(NotImplementedError):
-        # webp is still a stub
+    with _pytest.raises(CodecError):
+        # lossy VP8 WebP refuses loudly; lossless VP8L resizes for real
         resize_image(b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 8, 2, 2)
+    from cpdd_spark.webp import encode_webp
+
+    wp = resize_image(
+        encode_webp(np.arange(96, dtype=np.uint8).reshape(8, 12)), 6, 4
+    )
+    assert decode_png(wp).shape[:2] == (4, 6)
     with _pytest.raises(CodecError):
         resize_image(b"\xff\xd8\xff\xe0" + b"\x00" * 8, 2, 2)  # malformed jpeg
     with _pytest.raises(CodecError):

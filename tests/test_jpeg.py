@@ -34,12 +34,14 @@ def test_decode_error_contract_under_fuzz():
     )
     from cpdd_spark.gif import decode_gif, encode_gif
     from cpdd_spark.wav import decode_wav, encode_wav
+    from cpdd_spark.webp import decode_webp, encode_webp
 
     rng = np.random.default_rng(7)
     gray = rng.integers(0, 256, size=(24, 32), dtype=np.uint8)
     cases = [
         (decode_jpeg, b"\xff\xd8\xff", encode_jpeg(gray)),
         (decode_gif, b"GIF89a", encode_gif(gray)),
+        (decode_webp, b"RIFF\x24\x00\x00\x00WEBP", encode_webp(gray)),
         (decode_wav, b"RIFF\x24\x00\x00\x00WAVE",
          encode_wav((gray.astype(np.int16) - 128).ravel())),
         (decode_png, b"\x89PNG\r\n\x1a\n", encode_png(gray)),
