@@ -86,34 +86,62 @@ class _BitReader:
         return self.read(1)
 
 
+def _bit_reverse(code: int, ln: int) -> int:
+    rev = 0
+    for _ in range(ln):
+        rev = (rev << 1) | (code & 1)
+        code >>= 1
+    return rev
+
+
 class _PrefixDecoder:
     """Canonical prefix code (DEFLATE convention: codes assigned by
-    (length, order), read MSB-first bit-by-bit from the LSB-first
-    stream)."""
+    (length, order), read MSB-first from the LSB-first stream).
 
-    __slots__ = ("table", "single", "max_len")
+    Decoding peeks ``max_len`` buffered bits into a flat LUT of
+    ``(symbol, length)`` — one dict-free lookup per symbol instead of a
+    Python loop per bit (the same table-driven shape as the jpeg.py
+    scan decoder). Kraft completeness is enforced at build time, so
+    every LUT slot is populated."""
 
-    def __init__(self, table, single, max_len) -> None:
-        self.table = table
+    __slots__ = ("lut", "single", "max_len", "mask")
+
+    def __init__(self, lut, single, max_len) -> None:
+        self.lut = lut
         self.single = single
         self.max_len = max_len
+        self.mask = (1 << max_len) - 1
 
     def read(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        if self.table is None:
+        if self.lut is None:
             raise CodecError("symbol read from empty prefix code")
-        code = 0
-        ln = 0
-        table = self.table
-        while True:
-            code = (code << 1) | br.read_bit()
-            ln += 1
-            sym = table.get((ln, code))
-            if sym is not None:
-                return sym
-            if ln >= self.max_len:
-                raise CodecError("invalid prefix code in VP8L stream")
+        need = self.max_len
+        while br.nbits < need and br.pos < len(br.data):
+            br.buf |= br.data[br.pos] << br.nbits
+            br.pos += 1
+            br.nbits += 8
+        # near stream end the peek is zero-padded above br.nbits; the
+        # looked-up entry is only valid if its code fits the live bits
+        sym, ln = self.lut[br.buf & self.mask]
+        if ln > br.nbits:
+            raise CodecError("truncated VP8L bitstream")
+        br.buf >>= ln
+        br.nbits -= ln
+        return sym
+
+
+def _lut_from_codes(codes: list[tuple[int, int, int]], max_len: int) -> list:
+    """codes: (length, canonical_code, symbol) triples -> peek LUT."""
+    lut = [(0, 0xFF)] * (1 << max_len)
+    for ln, code, sym in codes:
+        rev = _bit_reverse(code, ln)
+        step = 1 << ln
+        entry = (sym, ln)
+        for slot in range(rev, 1 << max_len, step):
+            lut[slot] = entry
+    return lut
 
 
 def _decoder_from_lengths(lengths: list[int]) -> _PrefixDecoder:
@@ -131,15 +159,15 @@ def _decoder_from_lengths(lengths: list[int]) -> _PrefixDecoder:
     kraft = sum(1 << (max_len - ln) for ln, _ in nonzero)
     if kraft != (1 << max_len):
         raise CodecError("prefix code is not complete (invalid stream)")
-    table: dict[tuple[int, int], int] = {}
+    codes = []
     code = 0
     prev_len = 0
     for ln, sym in sorted(nonzero):
         code <<= ln - prev_len
         prev_len = ln
-        table[(ln, code)] = sym
+        codes.append((ln, code, sym))
         code += 1
-    return _PrefixDecoder(table, None, max_len)
+    return _PrefixDecoder(_lut_from_codes(codes, max_len), None, max_len)
 
 
 def _decoder_from_pairs(pairs: list[tuple[int, int]]) -> _PrefixDecoder:
@@ -147,8 +175,8 @@ def _decoder_from_pairs(pairs: list[tuple[int, int]]) -> _PrefixDecoder:
     gets code 0), not by symbol value — per RFC 9649 §5.2.1."""
     if len(pairs) == 1:
         return _PrefixDecoder(None, pairs[0][1], 0)
-    table = {(1, i): sym for i, (_, sym) in enumerate(pairs)}
-    return _PrefixDecoder(table, None, 1)
+    codes = [(1, i, sym) for i, (_, sym) in enumerate(pairs)]
+    return _PrefixDecoder(_lut_from_codes(codes, 1), None, 1)
 
 
 def _read_code_lengths(
@@ -617,9 +645,9 @@ class _BitWriter:
             self.nbits -= 8
 
     def write_code(self, code: int, length: int) -> None:
-        """Emit a canonical prefix code MSB-first (DEFLATE convention)."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        """Emit a canonical prefix code MSB-first (DEFLATE convention):
+        one bit-reversed LSB-first write, not a loop per bit."""
+        self.write(_bit_reverse(code, length), length)
 
     def finish(self) -> bytes:
         if self.nbits:

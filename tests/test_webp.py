@@ -471,7 +471,7 @@ def test_incomplete_prefix_code_is_refused():
         webp._decoder_from_lengths([2, 2, 2])  # kraft deficit
     with pytest.raises(CodecError, match="not complete"):
         webp._decoder_from_lengths([1, 1, 1])  # kraft excess
-    assert webp._decoder_from_lengths([1, 1]).table is not None
+    assert webp._decoder_from_lengths([1, 1]).lut is not None
     assert webp._decoder_from_lengths([0, 3]).single == 1
 
 
