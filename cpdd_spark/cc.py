@@ -138,6 +138,21 @@ def connected_components(
     """
     spark = edges.sparkSession
 
+    if strategy == "driver":
+        # explicit driver opt-in: the caller vouches the edge list is
+        # driver-sized (e.g. a bounded micro-batch's within-batch graph),
+        # so skip the sizing aggregate — the union-find's single Arrow
+        # collect is the only action
+        clusters = _driver_union_find(edges)
+        if vertices is not None:
+            singles = (
+                vertices.select("conv_id")
+                .join(clusters, "conv_id", "left_anti")
+                .withColumn("cluster_id", F.col("conv_id"))
+            )
+            clusters = clusters.unionByName(singles)
+        return clusters
+
     if strategy != "distributed":
         # persist the (small, O(dup-pairs)) edge list across the two driver
         # hops — the sizing aggregate and the collect otherwise each replay
@@ -152,7 +167,7 @@ def connected_components(
         ).collect()[0]
         n_edges = sized["n"] or 0
         est_bytes = n_edges * (int(sized["avg_id_bytes"] or 0) + _PY_STR_OVERHEAD)
-        if strategy == "driver" or est_bytes <= _driver_cc_bound(spark):
+        if est_bytes <= _driver_cc_bound(spark):
             clusters = _driver_union_find(edges)
             edges.unpersist()
             if vertices is not None:

@@ -201,7 +201,8 @@ def _simhash(h: np.ndarray, offsets: np.ndarray) -> np.ndarray:
 
 def compute_signatures(
     docs: DataFrame, cfg: DedupConfig, with_sets: bool = False,
-    with_minhash: bool = True,
+    with_minhash: bool = True, with_simhash: bool = True,
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """``documents(conv_id, .., doc)`` ->
     ``signatures(conv_id, n_shingles, minhash array<long>[k], simhash long)``.
@@ -223,6 +224,20 @@ def compute_signatures(
     of the fused kernel — a simhash-only consumer should not pay them.
     The emitted ``simhash`` values are bit-identical to the full pass
     (same shingle stream, untouched accumulation; pinned by pytest).
+
+    ``with_simhash=False`` is the mirror image: consumers that only band
+    and verify — the LSH probe path, notably the streaming near tier —
+    never read ``simhash``, and its bit-bucket accumulation is the
+    single most expensive piece of the fused pass (measured 3.0 s of a
+    4.7 s single-core batch kernel). The emitted minhash/sets are
+    bit-identical to the full pass for the same reason as above.
+
+    ``passthrough`` names extra input columns to carry through the Arrow
+    pass unchanged (same row order as the kernel input). This lets a
+    caller fuse the signature kernel into an existing materialization —
+    the streaming tier signs a micro-batch inside the one docs
+    checkpoint instead of paying a second Python stage + checkpoint
+    action per batch.
     """
     consts = _perm_params(cfg)
     w = cfg.shingle_w
@@ -230,26 +245,39 @@ def compute_signatures(
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             h, offsets = shingle_hashes(pdf["doc"], w)
-            sim = _simhash(h, offsets)
             cols = {
                 "conv_id": pdf["conv_id"].to_numpy(),
                 "n_shingles": np.diff(offsets),
             }
             if with_minhash:
                 cols["minhash"] = list(_minhash(h, offsets, consts))
-            cols["simhash"] = sim
+            if with_simhash:
+                cols["simhash"] = _simhash(h, offsets)
             if with_sets:
                 cols["shingles"] = [
                     np.unique(h[offsets[i] : offsets[i + 1]]).view(np.int64)
                     for i in range(len(pdf))
                 ]
+            for c in passthrough or ():
+                cols[c] = pdf[c]
             yield pd.DataFrame(cols)
 
     schema = (
-        SIG_SCHEMA if with_minhash
-        else "conv_id string, n_shingles long, simhash long"
-    ) + (", shingles array<long>" if with_sets else "")
-    return docs.select("conv_id", "doc").mapInPandas(kernel, schema=schema)
+        "conv_id string, n_shingles long"
+        + (", minhash array<long>" if with_minhash else "")
+        + (", simhash long" if with_simhash else "")
+        + (", shingles array<long>" if with_sets else "")
+        + "".join(
+            f", {c} {docs.schema[c].dataType.simpleString()}"
+            for c in passthrough or ()
+        )
+    )
+    if passthrough and not set(passthrough).isdisjoint(
+        {"conv_id", "n_shingles", "minhash", "simhash", "shingles"}
+    ):
+        raise ValueError("passthrough collides with signature output columns")
+    sel = ["conv_id", "doc"] + [c for c in passthrough or () if c != "doc"]
+    return docs.select(*sel).mapInPandas(kernel, schema=schema)
 
 
 SHINGLE_SET_SCHEMA = "conv_id string, shingles array<long>"

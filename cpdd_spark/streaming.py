@@ -23,6 +23,7 @@ of the same dedup scaffold.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -91,11 +92,18 @@ class IncrementalDedup:
         near_index_dir: str | None = None,
         cfg: DedupConfig | None = None,
         cache_state: bool = True,
+        cc_strategy: str = "driver",
     ):
         self.spark = spark
         self.clusters_dir = clusters_dir
         self.near_index_dir = near_index_dir
         self.cfg = cfg or DedupConfig()
+        # Within-batch near-dup components live on a graph bounded by the
+        # micro-batch size (and by the LSH bucket caps), so the driver
+        # union-find — a single Arrow collect, no sizing aggregate — is
+        # the right default; pass "auto" to re-enable the byte-bound
+        # check for deployments with huge maxFilesPerTrigger batches.
+        self.cc_strategy = cc_strategy
         # Per-batch state-read optimization. The round-5 bench traced a
         # large fixed cost per micro-batch to re-reading the clusters table
         # and both near-index tables from parquet with mergeSchema — a
@@ -122,6 +130,12 @@ class IncrementalDedup:
         # number at 10^12-turn scale.
         self.cache_state = cache_state
         self._schema_cache: dict[str, object] = {}
+        # wall-clock attribution of the last processed batch, keyed by
+        # stage (exact_out, sigs_kernel, bands, resolve, rep_docs,
+        # index_append, clusters_append, total) — the per-batch metrics
+        # the fixed-cost profiling works from; a few perf_counter calls,
+        # zero plan impact
+        self.last_timings: dict[str, float] = {}
 
     def _invalidate_cache(self) -> None:
         self._schema_cache = {}
@@ -157,6 +171,12 @@ class IncrementalDedup:
         self.process_docs(assemble_documents(turns))
 
     def process_docs(self, documents: DataFrame, batch_id: int = 0) -> None:
+        t_start = time.perf_counter()
+        self.last_timings = {}
+        self._process_docs_inner(documents, batch_id)
+        self.last_timings["total"] = time.perf_counter() - t_start
+
+    def _process_docs_inner(self, documents: DataFrame, batch_id: int) -> None:
         # dual fingerprints: the cross-batch probe joins on BOTH hash
         # families (+ exact length/turn counts) — the same relaxed-verify
         # guarantee as exact_clusters(verify='fingerprint'): a wrong
@@ -174,6 +194,35 @@ class IncrementalDedup:
             docs = docs.join(
                 existing.select("conv_id"), "conv_id", "left_anti"
             )
+        # materialize the batch's assembled+hashed+filtered docs ONCE: the
+        # exact-tier window/probe AND the near tier both consume this
+        # frame, and its lineage (parquet scan -> assembly groupBy -> dual
+        # hash -> anti-join) was being replayed per consumer — the largest
+        # share of the per-batch fixed cost the r7 profile attributed
+        # (micro-batch sized, so the checkpoint is cheap). When the near
+        # tier is on, the batch's ONE Python pass — the minhash+sets
+        # signature kernel — is FUSED into this same materialization
+        # (passthrough columns), so no later stage of the batch dispatches
+        # a Python worker at all: per-batch fixed cost is dominated by
+        # driver action count (r7 event log: ~43 jobs x ~170 ms), and the
+        # fusion deletes one Python stage + one checkpoint action.
+        # Speculative cost: exact-duplicate rows get signed too; for
+        # typical fresh-heavy batches that is zero waste, and a
+        # pure-duplicate batch pays ~1.7 s single-core, parallelized.
+        if self.near_index_dir is not None:
+            # NOTE on partitioning: three A/Bs tried to force this stage
+            # wider (explicit repartition to 32, shuffle_partitions=8,
+            # AQE minPartitionSize=64k) and every one LOST to the
+            # AQE-natural 4-8 partition layout — the extra text shuffle
+            # plus more concurrent Python tasks cost more than the
+            # parallelism buys at micro-batch sizes
+            docs = compute_signatures(
+                docs, self.cfg, with_sets=True, with_simhash=False,
+                passthrough=["n_turns", "doc_len", "md5", "xxh64", "doc"],
+            )
+        t0 = time.perf_counter()
+        docs = docs.localCheckpoint(eager=True)
+        self.last_timings["docs_ckpt"] = time.perf_counter() - t0
         # within-batch canonical: min conv_id per content (exact tier key)
         from pyspark.sql import Window
 
@@ -223,8 +272,17 @@ class IncrementalDedup:
             F.coalesce(F.col("e_cluster"), F.col("batch_canon")).alias("cluster_id"),
         )
         if self.near_index_dir is not None:
-            out = self._near_resolve(out, docs.select("conv_id", "doc"))
+            out = self._near_resolve(
+                out,
+                docs.select("conv_id", "n_shingles", "minhash", "shingles"),
+            )
+        t0 = time.perf_counter()
         out.write.mode("append").parquet(self.clusters_dir)
+        self.last_timings["clusters_append"] = time.perf_counter() - t0
+        cached = getattr(self, "_batch_persist", None)
+        if cached is not None:
+            cached.unpersist()
+            self._batch_persist = None
 
     def _index_dir(self, sub: str) -> str | None:
         """Resolve the on-disk directory for an index table, tolerating a
@@ -299,33 +357,47 @@ class IncrementalDedup:
             .unionByName(migrated)
         )
 
-    def _near_resolve(self, out: DataFrame, docs_text: DataFrame) -> DataFrame:
+    def _near_resolve(self, out: DataFrame, docs_sigs: DataFrame) -> DataFrame:
         """Near-dup tier over the exact tier's output: link this batch's
         FRESH canonicals (cluster_id == conv_id, i.e. content the exact
         probe didn't recognize) to stored near-duplicate representatives,
         then append the batch's representatives to the index.
 
         Python (the fused Arrow signature kernel) runs exactly ONCE per
-        batch, over the fresh canonicals; its output — signatures AND
-        distinct shingle sets — is materialized, so every downstream plan
-        (band probe, ``verify_pairs_sets``, CC, index append) is pure JVM
-        over stored arrays. No document text enters the index or the
-        probe joins."""
+        batch — inside the docs checkpoint upstream (``docs_sigs`` is the
+        already-materialized ``(conv_id, n_shingles, minhash, shingles)``
+        projection of it) — so every plan here (band probe,
+        ``verify_pairs_sets``, CC, index append) is pure JVM over stored
+        arrays. No document text enters the index or the probe joins."""
         cfg = self.cfg
+        t0 = time.perf_counter()
         # barrier: `out` feeds the fresh-canonical filter, the remap join,
-        # and the final write — materialize once (micro-batch sized)
+        # and the final write — materialize once (micro-batch sized; the
+        # r7 profile A/B'd removing this checkpoint and the three replays
+        # of the window+probe plan cost MORE than the one action saved)
         out = out.localCheckpoint(eager=True)
-        fresh = (
+        self.last_timings["exact_out"] = time.perf_counter() - t0
+        # fresh canonicals' signatures: a slim JVM join of two
+        # checkpointed frames — cheap enough to recompute per consumer
+        t0 = time.perf_counter()
+        sigs = (
             out.filter(F.col("cluster_id") == F.col("conv_id"))
             .select("conv_id")
-            .join(docs_text, "conv_id")
+            .join(docs_sigs, "conv_id")
         )
-        # the single Arrow pass of the batch: minhash + simhash + sets
-        sigs = compute_signatures(fresh, cfg, with_sets=True).localCheckpoint(
-            eager=True
-        )
+        self.last_timings["sigs_kernel"] = time.perf_counter() - t0
+        if sigs.rdd.isEmpty():
+            # pure-duplicate batch: no fresh canonicals, so there is
+            # nothing to probe, cluster, or index — skip the whole near
+            # tier (the empty-frame probe/CC/append jobs cost ~2 s of pure
+            # scheduler fixed cost per batch otherwise)
+            self.last_timings["near_skipped"] = 1.0
+            return out
         fresh_sets = sigs.select("conv_id", "shingles")
-        bands = band_buckets(sigs, cfg).localCheckpoint(eager=True)
+        # bands derive from the checkpointed sigs by pure JVM array ops —
+        # cheap enough to recompute per consumer; checkpointing them was
+        # one more per-batch driver action for no saved work
+        bands = band_buckets(sigs, cfg)
 
         # --- cross-batch probe: batch bands vs stored representative bands
         idx_docs = self._read_index_docs()
@@ -334,7 +406,17 @@ class IncrementalDedup:
         # only when BOTH halves exist; the replay re-appends the missing
         # half (see the write-order note below)
         idx_bands = self._read_index("bands") if idx_docs is not None else None
-        links = None
+
+        # --- ONE fused verify over both candidate families (cross-batch
+        # links tagged 'x', within-batch pairs tagged 'w'): the verify
+        # join pipeline — the batch's most expensive JVM work — executes
+        # once and is persisted; the old two-call form ran it twice
+        batch_pairs = pairs_from_buckets(
+            bands.select("conv_id", "band_id", "band_hash"),
+            ["band_id", "band_hash"],
+            cfg,
+        ).withColumn("src", F.lit("w"))
+        sets = fresh_sets
         if idx_docs is not None and idx_bands is not None:
             cand = (
                 bands.select("conv_id", "band_id", "band_hash")
@@ -346,15 +428,24 @@ class IncrementalDedup:
                 )
                 .select(F.col("conv_id").alias("a"), "b")
                 .distinct()
+                .withColumn("src", F.lit("x"))
             )
-            union_sets = fresh_sets.unionByName(
+            batch_pairs = batch_pairs.unionByName(cand)
+            sets = fresh_sets.unionByName(
                 idx_docs.select("conv_id", "shingles")
             )
-            verified = verify_pairs_sets(cand, union_sets, cfg)
+        verified = verify_pairs_sets(batch_pairs, sets, cfg).persist()
+        # released by process_docs after the clusters append — the remap
+        # join consumes `final`, whose lineage reads this cache
+        self._batch_persist = verified
+
+        links = None
+        if idx_docs is not None and idx_bands is not None:
             # min stored cluster across all verified matches: deterministic
             # under replay and under multi-match
             links = (
-                verified.join(
+                verified.filter(F.col("src") == "x")
+                .join(
                     idx_docs.select(
                         F.col("conv_id").alias("b"),
                         F.col("cluster_id").alias("idx_cluster"),
@@ -366,17 +457,14 @@ class IncrementalDedup:
             )
 
         # --- within-batch near-dup components among fresh canonicals
-        batch_pairs = pairs_from_buckets(
-            bands.select("conv_id", "band_id", "band_hash"),
-            ["band_id", "band_hash"],
-            cfg,
-        )
-        batch_edges = verify_pairs_sets(batch_pairs, fresh_sets, cfg).select(
-            "a", "b"
-        )
+        batch_edges = verified.filter(F.col("src") == "w").select("a", "b")
+        t0 = time.perf_counter()
         comp = connected_components(
-            batch_edges, vertices=fresh_sets.select("conv_id")
+            batch_edges,
+            vertices=fresh_sets.select("conv_id"),
+            strategy=self.cc_strategy,
         ).withColumnRenamed("cluster_id", "comp_label")
+        self.last_timings["cc"] = time.perf_counter() - t0
 
         # --- anchor each component on the minimum stored cluster any member
         # linked to; components with no stored link keep min batch conv_id
@@ -395,7 +483,12 @@ class IncrementalDedup:
             final = comp.select(
                 "conv_id", F.col("comp_label").alias("final_cluster")
             )
+        # barrier: `final` feeds three consumers (two index appends + the
+        # remap mapping), each of which would otherwise replay the
+        # links/anchors join pipeline — A/B'd, the checkpoint wins
+        t0 = time.perf_counter()
         final = final.localCheckpoint(eager=True)
+        self.last_timings["resolve"] = time.perf_counter() - t0
 
         # --- append this batch's representatives to the index, labeled with
         # their FINAL cluster so future probes inherit through chains
@@ -417,13 +510,17 @@ class IncrementalDedup:
             rep_docs = rep_docs.join(
                 idx_docs.select("conv_id"), "conv_id", "left_anti"
             )
-        rep_docs = rep_docs.localCheckpoint(eager=True)
+        # rep_docs joins two checkpointed frames (sigs x final) — its two
+        # append consumers recompute that join more cheaply than one more
+        # eager checkpoint action costs
+        t0 = time.perf_counter()
         bands.join(rep_docs.select("conv_id"), "conv_id", "left_semi").write.mode(
             "append"
         ).parquet(os.path.join(self.near_index_dir, "bands"))
         rep_docs.select("conv_id", "shingles", "cluster_id").write.mode(
             "append"
         ).parquet(os.path.join(self.near_index_dir, "docs"))
+        self.last_timings["index_append"] = time.perf_counter() - t0
 
         # --- remap the exact tier's assignments through the near links
         mapping = final.select(

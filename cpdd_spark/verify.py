@@ -128,7 +128,9 @@ def verify_pairs_sets(
         )
         .alias("jaccard")
     )
-    verified = joined.select("a", "b", jac)
+    # extra columns on `pairs` (e.g. a provenance tag when one fused call
+    # verifies several candidate families) ride through untouched
+    verified = joined.select(*pairs.columns, jac)
     if keep_all:
         return verified
     return verified.filter(F.col("jaccard") >= F.lit(cfg.tau))

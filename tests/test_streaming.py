@@ -365,7 +365,9 @@ def test_near_probe_verify_is_jvm_only(spark, near_dirs, monkeypatch):
     )
     dedup.process_batch(_turns(spark, [("p1", 0, "user", _doc(60), "", None)]), 0)
     dedup.process_batch(_turns(spark, [("p2", 0, "user", _doc(50), "", None)]), 1)
-    assert len(captured) >= 3  # within-batch x2 + cross-batch probe
+    # batch 1: within-batch only; batch 2: ONE fused call verifying both
+    # the within-batch pairs and the cross-batch probe candidates
+    assert len(captured) >= 2
     for df in captured:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         for marker in ("MapInPandas", "PythonUDF", "ArrowEval", "BatchEvalPython"):
