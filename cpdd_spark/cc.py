@@ -120,9 +120,15 @@ def connected_components(
     max_iter: int = 25,
     n_partitions: int | None = None,
     strategy: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """``edges(a, b)`` [+ optional ``vertices(conv_id)``] ->
     ``clusters(conv_id, cluster_id)``.
+
+    ``stats``: pass a dict to receive ``{"strategy": used, "rounds": n}``
+    (rounds = executed min-label+pointer-jump iterations; 0 for the
+    driver path) — the observability hook the scale bench reads to
+    confirm the O(log diameter) round bound.
 
     Vertices absent from ``edges`` (singletons) keep themselves as
     cluster_id when ``vertices`` is supplied.
@@ -143,6 +149,8 @@ def connected_components(
         # driver-sized (e.g. a bounded micro-batch's within-batch graph),
         # so skip the sizing aggregate — the union-find's single Arrow
         # collect is the only action
+        if stats is not None:
+            stats.update(strategy="driver", rounds=0)
         clusters = _driver_union_find(edges)
         if vertices is not None:
             singles = (
@@ -168,6 +176,8 @@ def connected_components(
         n_edges = sized["n"] or 0
         est_bytes = n_edges * (int(sized["avg_id_bytes"] or 0) + _PY_STR_OVERHEAD)
         if est_bytes <= _driver_cc_bound(spark):
+            if stats is not None:
+                stats.update(strategy="driver", rounds=0)
             clusters = _driver_union_find(edges)
             edges.unpersist()
             if vertices is not None:
@@ -179,22 +189,74 @@ def connected_components(
                 clusters = clusters.unionByName(singles)
             return clusters
 
-    sym = (
+    # --- vertex encoding: the rounds below shuffle the whole edge and
+    # label tables O(log diameter) times; conv_id-width string keys make
+    # every one of those shuffles hash, compare, and ship ~38-byte keys.
+    # Encode vertices ONCE to dense ORDER-PRESERVING int64 codes (sorted
+    # rank), run every round on 8-byte longs, decode at the end. Order
+    # preservation keeps the engine-wide convention intact: min(code) ==
+    # min(conv_id), so the final label decodes to the component's minimum
+    # conv_id exactly as before. The rank is computed without a global
+    # window or a Python RDD hop: range-partition sort, then
+    # monotonically_increasing_id's per-partition counter plus
+    # driver-collected per-partition offsets (#partitions rows) — the
+    # standard distributed zip-with-index, scale-safe at any size.
+    str_sym = (
         edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
     )
     if n_partitions:
-        sym = sym.repartition(n_partitions, "src")
-    sym = sym.localCheckpoint(eager=True)
+        str_sym = str_sym.repartition(n_partitions, "src")
+    str_sym = str_sym.localCheckpoint(eager=True)
     if strategy != "distributed":
         edges.unpersist()  # sym is checkpointed; the sized edge cache is done
+
+    verts = str_sym.select(F.col("src").alias("conv_id")).distinct().sort("conv_id")
+    with_pid = verts.select(
+        "conv_id",
+        F.spark_partition_id().alias("pid"),
+        F.monotonically_increasing_id().alias("mono"),
+    ).localCheckpoint(eager=True)
+    counts = {
+        r["pid"]: r["n"]
+        for r in with_pid.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "pid int, offset long",
+        )
+    )
+    # mono id within a partition == (pid << 33) + local row counter
+    vmap = with_pid.join(off_df, "pid").select(
+        "conv_id",
+        (
+            F.col("offset")
+            + F.col("mono")
+            - (F.col("pid").cast("long") * F.lit(1 << 33))
+        ).alias("vid"),
+    ).localCheckpoint(eager=True)
+
+    sym = (
+        str_sym.join(vmap.hint("shuffle_hash"), str_sym["src"] == vmap["conv_id"])
+        .select(F.col("vid").alias("src"), "dst")
+        .join(vmap.hint("shuffle_hash"), F.col("dst") == vmap["conv_id"])
+        .select("src", F.col("vid").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
     nodes = sym.select(F.col("src").alias("conv_id")).distinct()
     labels = nodes.withColumn("label", F.col("conv_id")).localCheckpoint(eager=True)
 
     from pyspark.sql import Observation
 
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # (1) one-hop: adopt the min label in the closed neighborhood
         nbr_min = (
             sym.join(labels, sym["src"] == labels["conv_id"])
@@ -241,7 +303,20 @@ def connected_components(
         if (obs.get["n_changed"] or 0) == 0:
             break
 
-    clusters = labels.withColumnRenamed("label", "cluster_id")
+    if stats is not None:
+        stats.update(strategy="distributed", rounds=rounds)
+    # decode int64 codes back to conv_ids (order-preserving encoding, so
+    # the min-label is the min conv_id of the component)
+    id_dec = vmap.select(F.col("vid").alias("v_id"), F.col("conv_id").alias("v_conv"))
+    lab_dec = vmap.select(F.col("vid").alias("l_id"), F.col("conv_id").alias("l_conv"))
+    clusters = (
+        labels.join(id_dec, labels["conv_id"] == F.col("v_id"))
+        .join(lab_dec, labels["label"] == F.col("l_id"))
+        .select(
+            F.col("v_conv").alias("conv_id"),
+            F.col("l_conv").alias("cluster_id"),
+        )
+    )
     if vertices is not None:
         singles = (
             vertices.select("conv_id")
