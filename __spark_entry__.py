@@ -45,8 +45,9 @@ from cpdd_spark.multimodal import (
 from cpdd_spark.ngram import decontaminate, jaccard_pairs
 from cpdd_spark.pipeline import DedupPipeline
 from cpdd_spark.rangejoin import interval_join
-from cpdd_spark.sampling import hash_bucket_sql, hash_split, stratified_sample
+from cpdd_spark.sampling import hash_bucket, hash_bucket_sql, hash_split, stratified_sample
 from cpdd_spark.session import ship_package
+from cpdd_spark.streaming import IncrementalDedup
 from cpdd_spark.signatures import compute_signatures
 from cpdd_spark.similarity import (
     cosine_dup_pairs_lsh,
@@ -1108,6 +1109,55 @@ def _dec_sum(col, scale: int = 6):
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
 
 
+def q_stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 upgraded from pytest-only to a HARD oracle row: the streaming
+    exact-dedup tier (cpdd_spark.streaming.IncrementalDedup, the
+    foreachBatch probe loop — reference analogue: the rerun-with-
+    no-clobber incremental mode, copy.c:73-96 + matching.c:320-375)
+    drains the documents table in three deterministic micro-batches
+    (md5-bucket of doc_id mod 3 — the same ladder as hash_split, so the
+    DuckDB twin reproduces the batch order exactly), then returns every
+    document's final cluster assignment.
+
+    The documents fixture has no byte-identical rows at sf0.01, so a
+    deterministic ~10% of docs (md5-bucket < 410) RE-ARRIVE under a
+    ``_dup`` id — landing in whatever batch their new id hashes to, so
+    the assertion covers both the within-batch window and the
+    cross-batch index probe.
+
+    First-match-wins across batches is SQL-expressible: the canonical of
+    a content group is the lexicographically-smallest doc_id within the
+    EARLIEST batch containing that content —
+    ``FIRST_VALUE(doc_id) OVER (PARTITION BY text ORDER BY batch,
+    doc_id)``. Any drift in the probe join, the replay anti-join, or the
+    within-batch window breaks the hash."""
+    import os
+    import tempfile
+
+    base_docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), F.col("text")
+    )
+    arriving = base_docs.unionByName(
+        base_docs.filter(hash_bucket(F.col("conv_id")) < 410).select(
+            F.concat(F.col("conv_id"), F.lit("_dup")).alias("conv_id"),
+            F.col("text"),
+        )
+    )
+    docs = arriving.select(
+        "conv_id",
+        F.lit(1).cast("long").alias("n_turns"),
+        F.length("text").cast("long").alias("doc_len"),
+        F.col("text").alias("doc"),
+        F.pmod(hash_bucket(F.col("conv_id")), F.lit(3)).alias("batch"),
+    )
+    base = tempfile.mkdtemp(prefix="cpdd_qstream_")
+    dedup = IncrementalDedup(spark, os.path.join(base, "clusters"))
+    for b in range(3):
+        dedup.process_docs(docs.filter(F.col("batch") == b).drop("batch"), b)
+    out = spark.read.parquet(os.path.join(base, "clusters"))
+    return out.select(F.col("conv_id").alias("doc_id"), "cluster_id")
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage row counts of a FULL checkpointed pipeline run (P12/R16): the
     metrics table (stats_t analogue, /root/reference/include/cpdd.h:61-69)
@@ -1413,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_segment": q_top_orders_per_segment,
         "substring_pairs": q_substring_pairs,
         "pipeline_metrics": q_pipeline_metrics,
+        "stream_exact_dedup": q_stream_exact_dedup,
         "simhash_pairs": q_simhash_pairs,
         "signatures": q_signatures,
         # approximate / engine-specific internals: no SQL oracle
@@ -2102,6 +2153,26 @@ def oracle_sql() -> dict[str, str]:
         # (valid while LSH recall is 1.0 on this fixture — gated), and
         # substring_pairs == the rep-restricted R=37-gram pair set (winnow
         # guarantee, buckets under cap at this SF)
+        # streaming exact tier: canonical = lexicographically-smallest
+        # doc_id in the EARLIEST md5-bucket batch containing the content
+        # (first-match-wins across micro-batches, min-id within a batch)
+        "stream_exact_dedup": f"""
+        WITH arriving AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+          UNION ALL
+          SELECT CAST(doc_id AS VARCHAR) || '_dup', text FROM documents
+          WHERE {hash_bucket_sql('doc_id')} < 410
+        ), b AS (
+          SELECT doc_id, text,
+                 ({hash_bucket_sql('doc_id')} % 3) AS batch
+          FROM arriving
+        )
+        SELECT doc_id,
+               FIRST_VALUE(doc_id) OVER (
+                 PARTITION BY text ORDER BY batch, doc_id
+               ) AS cluster_id
+        FROM b
+        """,
         "pipeline_metrics": SQL_PRELUDE
         + """
         , reps AS (SELECT conv_id FROM exact2 WHERE conv_id = cluster_id),

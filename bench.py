@@ -86,6 +86,7 @@ EXTRA = [
     "multimodal_features",  # REAL PNG/BMP encode+decode over every doc
     "audio_features",    # REAL WAV encode+decode+spectral features per doc
     "decontaminate",     # benchmark-overlap screen (broadcast probe grams)
+    "stream_exact_dedup",  # T17: 3-micro-batch incremental exact dedup
     "token_freq",        # corpus vocabulary counting (partial-agg + top-k)
     "repetition",        # Gopher-style duplicate-n-gram fractions (JVM)
 ]
