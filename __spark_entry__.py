@@ -60,7 +60,6 @@ from cpdd_spark import textfuncs
 from cpdd_spark.textfuncs import (
     fingerprint,
     lang_id,
-    ngram_repetition,
     punct_count,
     quality_score,
     stopword_count,
@@ -83,24 +82,47 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    base = docs.select(
-        F.concat(F.lit("conv_"), F.col("doc_id").cast("string")).alias("conv_id"),
-        toks.alias("toks"),
+    # ONE pass over ONE spread scan (r8): the original three-branch union
+    # (base / dup / near as separate filtered selects) instantiated three
+    # copies of the scan + tokenization, and the spread-to-parallelism
+    # repartition tripled with it (ReuseExchange does not dedupe
+    # user-specified round-robin shuffles). Building the variants as a
+    # conditional array + explode keeps the exact same output rows from a
+    # single scan, a single split, a single shuffle. The documents file is
+    # a single row group, so the repartition is the only way the turn
+    # construction parallelizes.
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    dups = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.concat(F.lit("dup_"), F.col("doc_id").cast("string")).alias("conv_id"),
-        toks.alias("toks"),
-    )
-    nears = (
-        docs.filter((F.col("doc_id") % 7 == 3) & (F.size(toks) >= 30))
-        .select(
-            F.concat(F.lit("near_"), F.col("doc_id").cast("string")).alias("conv_id"),
-            F.slice(toks, 1, F.size(toks) - 10).alias("toks"),
+    toks = F.col("__toks")
+    did = F.col("doc_id").cast("string")
+    variant_arr = F.array_compact(
+        F.array(
+            F.struct(
+                F.concat(F.lit("conv_"), did).alias("conv_id"),
+                toks.alias("toks"),
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.struct(
+                    F.concat(F.lit("dup_"), did).alias("conv_id"),
+                    toks.alias("toks"),
+                ),
+            ),
+            F.when(
+                (F.col("doc_id") % 7 == 3) & (F.size(toks) >= 30),
+                F.struct(
+                    F.concat(F.lit("near_"), did).alias("conv_id"),
+                    F.slice(toks, 1, F.size(toks) - 10).alias("toks"),
+                ),
+            ),
         )
     )
-    variants = base.unionByName(dups).unionByName(nears)
+    variants = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
+        .select(F.explode(variant_arr).alias("__v"))
+        .select(F.col("__v.conv_id").alias("conv_id"), F.col("__v.toks").alias("toks"))
+    )
     n_turns = F.floor((F.size("toks") + TURN_TOKENS - 1) / TURN_TOKENS).cast("int")
     turn_texts = F.transform(
         F.sequence(F.lit(0), n_turns - 1),
@@ -247,11 +269,21 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically all pairs with J >= tau (what the oracle computes).
     The scale pipeline (pipeline.py / scripts/two_scale.py) runs LSH-only.
     """
-    # persist: docs feeds the signature path, the ngram backstop, AND the
-    # verify joins — uncached it assembles three times
+    # persist: docs feeds the signature path AND the ngram backstop —
+    # uncached it assembles twice
     docs = _assembled(spark, sf_dir).persist()
-    sigs = compute_signatures(docs, CFG)
-    verified = verify_pairs(candidate_pairs(sigs, CFG, eager=False), docs, CFG)
+    # with_sets + set-verify (r8): the one fused Arrow pass also emits each
+    # doc's distinct shingle set, so verification is pure-JVM
+    # array_intersect over stored sets instead of a second Python kernel
+    # re-shingling both texts per candidate pair. Jaccard is bit-identical
+    # (both paths intersect the same distinct 64-bit hash sets; LSH
+    # candidates are screened to n_shingles > 0 — verify.py docstring).
+    sigs = compute_signatures(docs, CFG, with_sets=True).persist()
+    verified = verify_pairs_sets(
+        candidate_pairs(sigs, CFG, eager=False),
+        sigs.select("conv_id", "shingles"),
+        CFG,
+    )
     # result-level union: a verified LSH pair carries the SAME exact
     # Jaccard double the inverted index computes (both paths use one
     # tokenizer — the explicit-whitespace-class split, see
@@ -268,6 +300,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     docs.unpersist()  # hygiene for the multi-query driver session
+    sigs.unpersist()
     return result
 
 
@@ -308,7 +341,11 @@ def q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     route, which is what pipeline.py / two_scale.py run.)
     """
     docs = _assembled(spark, sf_dir).persist()
-    ec = exact_clusters(docs)
+    # lazy_hash=False: only cluster_id/conv_id are consumed here, and the
+    # eager-hash path produces IDENTICAL clusters (exact.py docstring +
+    # tests) while skipping the needs_hash window — one full sort of the
+    # corpus text removed from the plan (2 Sort -> 1 under one Exchange)
+    ec = exact_clusters(docs, lazy_hash=False)
     near = jaccard_pairs(docs, "conv_id", "doc", n=5, tau=0.7, max_doc_freq=10_000)
     edges = exact_pairs(ec).unionByName(near.select("a", "b"))
     clusters = connected_components(
@@ -343,8 +380,9 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured persist 5.9-6.5s vs plain 6.9-8.6s vs eager checkpoint
     # 9.4-16s (the checkpoint's blocking job + stats-bearing leaf cost
     # more than the saved recompute; cf. the streaming meltdown note in
-    # BENCH/BASELINE.md).
-    ec = exact_clusters(docs).persist()
+    # BENCH/BASELINE.md). lazy_hash=False: identical clusters, one full
+    # text sort fewer (see q_clusters).
+    ec = exact_clusters(docs, lazy_hash=False).persist()
     reps = docs.join(
         ec.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
         "conv_id",
@@ -379,18 +417,53 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex token counting (model-free corpus size estimator)."""
     from cpdd_spark.textfuncs import bpe_token_count
 
-    return _read(spark, sf_dir, "documents").select(
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
         "doc_id", bpe_token_count("text").alias("n_bpe_tokens")
     )
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _read(spark, sf_dir, "documents").select(
+    # single-pass form: the naive one-liner-per-column version re-derived
+    # the tokenization (and the interpreted stopword filter) inside every
+    # output column's expression tree — ~6 splits + 3 higher-order filters
+    # per row; binding the counts once and feeding quality_from_counts
+    # evaluates each exactly once, identical doubles (same IEEE sequence)
+    docs = _read(spark, sf_dir, "documents")
+    # spread: the documents file is a single row group -> one scan task;
+    # without this the whole tokenize+count projection runs on one core
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    base = docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        stopword_count("text").alias("n_stopwords"),
+        "text",
+        textfuncs.tokens(F.col("text")).alias("__toks"),
+    )
+    counts = base.select(
+        "doc_id",
+        F.length("text").alias("__n_chars"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(
+                F.col("__toks"), lambda t: F.lower(t).isin(textfuncs.STOPWORDS)
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords"),
         punct_count("text").alias("n_punct"),
-        quality_score("text").alias("quality"),
+    )
+    return counts.select(
+        "doc_id",
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        textfuncs.quality_from_counts(
+            F.col("__n_chars"),
+            F.col("n_tokens"),
+            F.col("n_stopwords"),
+            F.col("n_punct"),
+        ).alias("quality"),
     )
 
 
@@ -832,9 +905,17 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) are bit-identical to the full pass."""
     docs = _assembled(spark, sf_dir).persist()
     n_docs = docs.count()
-    result = simhash_candidates(
-        compute_signatures(docs, CFG, with_minhash=False), CFG, n_docs=n_docs
-    ).localCheckpoint(eager=True)
+    # materialize the signature pass ONCE (r8): simhash_candidates
+    # references its input three times (block-key explode + both sides of
+    # the hamming-verify join) — unmaterialized, the Python kernel ran
+    # three times per query. The slim (conv_id, n_shingles, simhash)
+    # projection is a few MB, so the checkpoint is cheap.
+    sigs = compute_signatures(docs, CFG, with_minhash=False).localCheckpoint(
+        eager=True
+    )
+    result = simhash_candidates(sigs, CFG, n_docs=n_docs).localCheckpoint(
+        eager=True
+    )
     docs.unpersist()
     return result
 
@@ -847,7 +928,15 @@ def q_substring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact even if a boilerplate fingerprint collects >cap docs (the capped
     form is the 10^12-turn pipeline mode, where CC connectivity — not the
     raw list — is the product)."""
-    return substring_pairs(_assembled(spark, sf_dir), CFG, complete=True)
+    # persist: docs feeds BOTH the winnowed-fingerprint kernel and the
+    # R-gram-set verify kernel — uncached it assembles twice (same
+    # discipline as q_minhash_pairs; the result is O(duplicates), tiny)
+    docs = _assembled(spark, sf_dir).persist()
+    result = substring_pairs(docs, CFG, complete=True).localCheckpoint(
+        eager=True
+    )
+    docs.unpersist()
+    return result
 
 
 def q_signatures_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,20 +1149,16 @@ def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition screen
-    (cpdd_spark.textfuncs.ngram_repetition): duplicate bigram/trigram
-    fractions per document — the Gopher-style repetitious-text signal,
-    pure JVM array ops (the line-level variant is q_line_dedup). The
-    fractions are single IEEE divisions of exact integer counts, so the
-    doubles hash-match cross-engine."""
-    docs = _read(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", ws_tokens(F.col("text")).alias("__toks")
-    )
-    t = F.col("__toks")
-    return toks.select(
-        "doc_id",
-        ngram_repetition(t, 2).alias("bigram_rep"),
-        ngram_repetition(t, 3).alias("trigram_rep"),
+    (cpdd_spark.textfuncs.repetition_profile): duplicate bigram/trigram
+    fractions per document — the Gopher-style repetitious-text signal
+    (the line-level variant is q_line_dedup). The fractions are single
+    IEEE divisions of exact integer counts, so the doubles hash-match
+    cross-engine."""
+    # vectorized Arrow kernel (one tokenization, integer-code distinct
+    # counts) — bit-identical to the ngram_repetition column form, which
+    # stays as the parity reference (tests/test_extras.py pins equality)
+    return textfuncs.repetition_profile(
+        _read(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 
@@ -1086,7 +1171,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full inverted-index computation in SQL. Probe docs with >= n
     tokens self-hit by construction — a built-in sanity anchor the
     oracle reproduces."""
-    docs = _read(spark, sf_dir, "documents")
+    # spread: single-row-group scan -> the corpus-side gram explode and
+    # the probe-side gram union otherwise both run on one core
+    docs = _read(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     probes = docs.filter(F.col("doc_id") % 17 == 0)
     return decontaminate(docs, probes, "doc_id", "text", n=5, min_overlap=1)
 

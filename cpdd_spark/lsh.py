@@ -63,6 +63,7 @@ def pairs_from_buckets(
     cfg: DedupConfig,
     eager: bool = True,
     id_col: str = "conv_id",
+    distinct: bool = True,
 ) -> DataFrame:
     """Skew-aware pair generation from ``(key_cols..., id_col)`` bucket rows.
 
@@ -158,7 +159,17 @@ def pairs_from_buckets(
         )
     )
 
-    result = pairs.unionByName(chain_pairs).distinct()
+    # ``distinct=False`` skips the cross-table pair dedup — right when the
+    # caller's verify stage is a deterministic map-side computation whose
+    # PASSING rows are deduped afterwards instead: the post-threshold
+    # survivor set is usually orders of magnitude smaller than the
+    # candidate set, so deduping after verification deletes a full
+    # candidate-sized exchange + multi-million-group hash aggregate from
+    # the plan while the emitted pair set stays identical (duplicate
+    # candidates produce bit-identical verified rows).
+    result = pairs.unionByName(chain_pairs)
+    if distinct:
+        result = result.distinct()
     if eager:
         # materialize the (small, O(candidates)) result now so `grouped`'s
         # cache can be released right away — leaked persists across a

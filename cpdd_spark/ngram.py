@@ -58,9 +58,13 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     # Three more measured plan hazards, each its own line of defense:
-    # - filter on TOKEN count, not gram count: ``size(grams) > 0`` is
-    #   equivalent, but predicate pushdown would rebuild the WHOLE gram
-    #   construction inside the Filter node;
+    # - NO pre-gram row filter at all: sub-n-token docs already emit an
+    #   empty gram array (the CASE guard above) and the non-outer explode
+    #   drops them — identical output. The previous explicit
+    #   ``filter(size(__toks) >= n)`` was pushed below the tokenizing
+    #   Project by predicate pushdown, re-inlining the full split into the
+    #   Filter node: every row paid the tokenization TWICE (seen in the
+    #   r8 plan audit as a duplicated split() under Filter(3)/Project(4));
     # - n_grams is computed as a scalar BELOW the explode's Generate: a
     #   Project referencing both size(g) and explode(g) above the Generate
     #   makes every exploded row carry the full gram array (O(doc^2)
@@ -72,7 +76,6 @@ def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
         df.select(
             F.col(id_col).alias("id"), ws_tokens(F.col(text_col)).alias("__toks")
         )
-        .filter(F.size(toks) >= n)
         .select("id", grams.alias("grams"))
         .select("id", F.size("grams").alias("n_grams"), F.col("grams"))
         .select("id", "n_grams", F.explode("grams").alias("shingle"))

@@ -72,6 +72,15 @@ def get_spark(
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
         # Transcripts compress extremely well; keep scan splits reasonable.
         "spark.sql.files.maxPartitionBytes": "134217728",
+        # FLOOR on scan parallelism, tied to the session's parallelism
+        # level (not a constant): a 100-200 MB multi-row-group table
+        # otherwise packs into 1-2 splits and its whole scan+map side runs
+        # on 1-2 cores. At cluster scale real inputs carry far more splits
+        # than cores and the floor is inert; single-row-group files can't
+        # be split by config at all (the compute-heavy operators over
+        # those spread explicitly — see multimodal._spread_for_python_kernel
+        # and its call sites).
+        "spark.sql.files.minPartitionNum": str(shuffle_partitions),
         # InferFiltersFromGenerate copies an explode's GENERATOR EXPRESSION
         # into an inferred `size(e) > 0` predicate and pushes it to the
         # scan. When the generator is expensive (shingling: per-gram

@@ -29,7 +29,23 @@ from cpdd_spark.config import DedupConfig
 from cpdd_spark.lsh import pairs_from_buckets
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Strict left-to-right double dot product.
+
+    ``dim=None``: the generic higher-order form (works on any runtime
+    length). With a known static ``dim`` the SAME fold is emitted as a
+    straight-line expression chain ``((0.0 + x1*y1) + x2*y2) + ...`` —
+    bit-identical doubles (identical operation order), but it compiles
+    into whole-stage codegen instead of per-element interpreted lambda
+    evaluation (HigherOrderFunction nodes are never codegen'd), measured
+    ~10x on the verify hot paths. ``F.get`` (0-based, null out of range)
+    keeps the null semantics of ``zip_with``'s padding on short arrays.
+    """
+    if dim is not None:
+        expr = F.lit(0.0)
+        for i in range(dim):
+            expr = expr + F.get(a, i).cast("double") * F.get(b, i).cast("double")
+        return expr
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -37,7 +53,12 @@ def _dot(a, b):
     )
 
 
-def _norm(a):
+def _norm(a, dim: int | None = None):
+    if dim is not None:
+        expr = F.lit(0.0)
+        for i in range(dim):
+            expr = expr + F.get(a, i).cast("double") * F.get(a, i).cast("double")
+        return F.sqrt(expr)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -47,9 +68,17 @@ def _norm(a):
     )
 
 
-def with_cosine(pairs: DataFrame, va: str = "emb_a", vb: str = "emb_b") -> DataFrame:
+def with_cosine(
+    pairs: DataFrame, va: str = "emb_a", vb: str = "emb_b", dim: int | None = None
+) -> DataFrame:
+    """``dim`` unrolls the fold for codegen (see :func:`_dot`) — pass it
+    whenever the embedding width is statically known; semantics (and the
+    emitted doubles) are identical for arrays of exactly that length,
+    which every caller's schema guarantees."""
     return pairs.withColumn(
-        "cosine", _dot(F.col(va), F.col(vb)) / (_norm(F.col(va)) * _norm(F.col(vb)))
+        "cosine",
+        _dot(F.col(va), F.col(vb), dim)
+        / (_norm(F.col(va), dim) * _norm(F.col(vb), dim)),
     )
 
 
@@ -59,19 +88,28 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: ``(query_id, neighbor_id, cosine,
     rank)``. Self-matches excluded; ties broken by neighbor_id for full
     determinism. The corpus side of the cross join broadcasts when small;
-    at scale use :func:`lsh_topk`."""
+    at scale use :func:`lsh_topk`. ``dim`` (when the embedding width is
+    statically known) unrolls the cosine into codegen — see
+    :func:`_dot`."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("emb_a")
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("emb_b")
     )
+    # stream the CORPUS side, spread to cluster parallelism (a single
+    # small parquet file scans as one partition — the whole
+    # queries x corpus cosine + partial top-k otherwise runs in ONE task;
+    # same shape fix as multimodal's _spread_for_python_kernel), and
+    # broadcast the tiny query side instead of the corpus.
+    c = c.repartition(c.sparkSession.sparkContext.defaultParallelism)
     scored = (
-        with_cosine(q.crossJoin(c))
+        with_cosine(c.crossJoin(F.broadcast(q)), dim=dim)
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -149,7 +187,12 @@ def sign_sketches(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema=SKETCH_SCHEMA)
+    inp = df.select(id_col, vec_col)
+    # spread to cluster parallelism: vector tables often scan as one
+    # partition (single small file / one row group), which would run the
+    # matmul kernel AND the first downstream exchange's map side serially
+    inp = inp.repartition(inp.sparkSession.sparkContext.defaultParallelism)
+    return inp.mapInPandas(kernel, schema=SKETCH_SCHEMA)
 
 
 def cosine_dup_pairs_lsh(
@@ -162,10 +205,17 @@ def cosine_dup_pairs_lsh(
     n_tables: int = 64,
     seed: int = 42,
     cfg: DedupConfig | None = None,
+    broadcast_vectors: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs WITHOUT the crossJoin: multi-table sign-LSH
     candidates -> exact-cosine verification (the dedup tiers' screen-then-
     verify shape applied to vectors).
+
+    ``broadcast_vectors``: hint the two verify-attach joins to broadcast
+    the vector table (right for corpora whose ``(id, vec)`` projection
+    fits executor memory — tens of millions of rows at dim 64). At 10^9+
+    vectors pass ``False`` and let the planner shuffle-join against the
+    bucketed vector table instead.
 
     Recall: a pair at angle theta collides in one table w.p.
     ``p^n_planes`` with ``p = 1 - theta/pi``; across ``n_tables`` independent
@@ -182,20 +232,40 @@ def cosine_dup_pairs_lsh(
     sk = sign_sketches(corpus, dim, n_planes, n_tables, seed, id_col, vec_col)
     # typed id path: the bucket machinery pairs/chains on the native long
     # vector ids — no string casts, 8-byte shuffle keys end to end
-    cands = pairs_from_buckets(sk, ["t", "bucket"], cfg, id_col="id").select(
-        F.col("a").alias("ia"), F.col("b").alias("ib")
-    )
+    # eager=False: the candidate list here is O(collisions) — tens of
+    # millions of rows on random-vector corpora — and the default eager
+    # localCheckpoint would serialize all of it into storage memory as a
+    # separate blocking job before the verify even starts. Lazy lets the
+    # expansion pipeline straight into the (broadcast) verify joins in one
+    # job; the persisted bucket-member table it protects is ~MB-sized and
+    # dies with the session.
+    # distinct=False: candidates stay multiset-shaped through the verify
+    # (cosine is deterministic, so duplicate candidates yield bit-identical
+    # verified rows) and the final .distinct() below dedups the tiny
+    # survivor set instead of the tens-of-millions candidate set — one
+    # candidate-sized exchange + hash aggregate removed from the plan.
+    cands = pairs_from_buckets(
+        sk, ["t", "bucket"], cfg, eager=False, id_col="id", distinct=False
+    ).select(F.col("a").alias("ia"), F.col("b").alias("ib"))
+    # broadcast the (small) embedding table into BOTH attach joins: the
+    # candidate list is the big side (O(collisions) rows) and must not be
+    # shuffled twice just to pick up 64-double payloads — guide §3.1
+    # (auto-broadcast misses this: the estimated size of a 20k x 64-double
+    # table sits right at the 10 MB default threshold)
     left = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("emb_a"))
     right = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("emb_b"))
+    if broadcast_vectors:
+        left, right = F.broadcast(left), F.broadcast(right)
     joined = cands.join(left, "ia").join(right, "ib")
     return (
-        with_cosine(joined)
+        with_cosine(joined, dim=dim)
         .filter(F.col("cosine") >= threshold)
         .select(
             F.least("ia", "ib").alias("a"),
             F.greatest("ia", "ib").alias("b"),
             "cosine",
         )
+        .distinct()
     )
 
 

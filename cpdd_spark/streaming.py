@@ -220,9 +220,17 @@ class IncrementalDedup:
                 docs, self.cfg, with_sets=True, with_simhash=False,
                 passthrough=["n_turns", "doc_len", "md5", "xxh64", "doc"],
             )
-        t0 = time.perf_counter()
-        docs = docs.localCheckpoint(eager=True)
-        self.last_timings["docs_ckpt"] = time.perf_counter() - t0
+        if self.near_index_dir is not None:
+            # near tier on: docs (with the fused signature columns) is
+            # consumed by BOTH the exact-tier window/probe and the near
+            # tier — materialize once so neither replays the lineage
+            t0 = time.perf_counter()
+            docs = docs.localCheckpoint(eager=True)
+            self.last_timings["docs_ckpt"] = time.perf_counter() - t0
+        # exact-only tier: docs flows through window -> probe -> append in
+        # ONE action; the checkpoint here bought no reuse — it only added
+        # a full extra materialization + driver action per micro-batch
+        # (r8: one of the named per-batch fixed costs)
         # within-batch canonical: min conv_id per content (exact tier key)
         from pyspark.sql import Window
 

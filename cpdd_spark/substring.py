@@ -51,7 +51,6 @@ from cpdd_spark.lsh import pairs_from_buckets
 from cpdd_spark.signatures import shingle_hashes
 
 FP_SCHEMA = "conv_id string, fp long"
-SUBSTR_SCHEMA = "a string, b string, n_common_runs long"
 
 
 def _winnow(h: np.ndarray, k: int) -> np.ndarray:
@@ -148,32 +147,47 @@ def substring_pairs(
         # sessions, skippable in single-job runs
         cands = pairs_from_buckets(fps, ["fp"], cfg, eager=eager)
 
+    # Verify against PRECOMPUTED per-doc R-gram hash sets instead of
+    # re-shingling both documents per candidate pair (a doc in k pairs was
+    # re-hashed k times; the kernel also shipped full text into Python per
+    # pair). One Arrow pass computes each doc's distinct R-gram set ONCE;
+    # the per-pair intersection count is then pure-JVM ``array_intersect``
+    # inside codegen over slim int64 arrays — the same stored-sets verify
+    # shape as cpdd_spark.verify.verify_pairs_sets. Bit-identical output:
+    # both forms count |distinct(ha) ∩ distinct(hb)| over the same 64-bit
+    # hashes (array_intersect de-dups), and empty sets (docs under R
+    # tokens) yield 0 on both paths.
     w = cfg.substring_w + cfg.winnow_window - 1
-    da = docs.select(F.col("conv_id").alias("a"), F.col("doc").alias("doc_a"))
-    db = docs.select(F.col("conv_id").alias("b"), F.col("doc").alias("doc_b"))
-    joined = cands.join(da, "a").join(db, "b").select("a", "b", "doc_a", "doc_b")
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def rgram_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ha, offs_a = shingle_hashes(pdf["doc_a"], w)
-            hb, offs_b = shingle_hashes(pdf["doc_b"], w)
-            common = np.zeros(len(pdf), dtype=np.int64)
-            for i in range(len(pdf)):
-                sa = np.unique(ha[offs_a[i] : offs_a[i + 1]])
-                sb = np.unique(hb[offs_b[i] : offs_b[i + 1]])
-                if len(sa) and len(sb):
-                    common[i] = len(np.intersect1d(sa, sb, assume_unique=True))
+            h, offs = shingle_hashes(pdf["doc"], w)
             yield pd.DataFrame(
                 {
-                    "a": pdf["a"].to_numpy(),
-                    "b": pdf["b"].to_numpy(),
-                    "n_common_runs": common,
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "rset": [
+                        np.unique(h[offs[i] : offs[i + 1]]).view(np.int64)
+                        for i in range(len(pdf))
+                    ],
                 }
             )
 
+    rsets = docs.select("conv_id", "doc").mapInPandas(
+        rgram_kernel, schema="conv_id string, rset array<long>"
+    )
+    sa = rsets.select(F.col("conv_id").alias("a"), F.col("rset").alias("rs_a"))
+    sb = rsets.select(F.col("conv_id").alias("b"), F.col("rset").alias("rs_b"))
     return (
-        joined.mapInPandas(kernel, schema=SUBSTR_SCHEMA)
+        cands.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("rs_a", "rs_b"))
+            .cast("long")
+            .alias("n_common_runs"),
+        )
         .filter(F.col("n_common_runs") >= 1)
     )

@@ -46,9 +46,15 @@ WS_RE2 = (
 
 def ws_tokens(text: "Column | str") -> "Column":
     """JVM-side twin of pandas ``str.split()``: split on the canonical
-    whitespace class, drop empty tokens (leading/trailing separators)."""
+    whitespace class, drop empty tokens (leading/trailing separators).
+
+    ``array_remove(arr, '')`` == ``filter(arr, t -> t != '')`` for split
+    output (order-preserving removal of every empty token; split never
+    yields nulls) — but array_remove is a plain codegen'd expression while
+    the lambda filter is an interpreted HigherOrderFunction evaluated per
+    token."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(c, WS_JAVA + "+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(c, WS_JAVA + "+"), "")
 
 
 # tiny pinned stopword list — the lang-ID/quality heuristics key off it;
@@ -86,15 +92,18 @@ def punct_count(text: Column | str) -> Column:
     )
 
 
-def quality_score(text: Column | str) -> Column:
-    """Heuristic [0,1] quality: rewards mid-length docs, real word lengths,
-    some stopword mass; penalizes punctuation soup. Integer-arithmetic-free
-    of engine-specific functions => bit-identical in DuckDB."""
-    c = F.col(text) if isinstance(text, str) else text
-    n_chars = F.length(c).cast("double")
-    n_toks = token_count(c).cast("double")
-    sw = stopword_count(c).cast("double")
-    punct = punct_count(c).cast("double")
+def quality_from_counts(n_chars, n_toks, sw, punct) -> Column:
+    """The quality formula over ALREADY-COMPUTED count columns — lets a
+    single-pass caller bind the tokenization once and reuse it across
+    every output column instead of re-deriving splits per term (the
+    expression tree of the convenience form re-evaluates the split and
+    the stopword filter several times per row; Catalyst does not
+    common-subexpression across independent projection columns).
+    Arithmetic is the identical IEEE sequence — same doubles out."""
+    n_chars = n_chars.cast("double")
+    n_toks = n_toks.cast("double")
+    sw = sw.cast("double")
+    punct = punct.cast("double")
     avg_tok = F.when(n_toks > 0, n_chars / n_toks).otherwise(F.lit(0.0))
     len_term = F.least(n_chars / F.lit(500.0), F.lit(1.0))
     tok_term = F.when((avg_tok >= 3) & (avg_tok <= 12), F.lit(1.0)).otherwise(F.lit(0.5))
@@ -102,6 +111,16 @@ def quality_score(text: Column | str) -> Column:
     punct_term = F.when(n_chars > 0, F.lit(1.0) - F.least(punct * 5.0 / n_chars, F.lit(1.0))).otherwise(F.lit(0.0))
     return (len_term * 0.4 + tok_term * 0.2 + sw_term * 0.2 + punct_term * 0.2).alias(
         "quality"
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic [0,1] quality: rewards mid-length docs, real word lengths,
+    some stopword mass; penalizes punctuation soup. Integer-arithmetic-free
+    of engine-specific functions => bit-identical in DuckDB."""
+    c = F.col(text) if isinstance(text, str) else text
+    return quality_from_counts(
+        F.length(c), token_count(c), stopword_count(c), punct_count(c)
     )
 
 
@@ -194,13 +213,89 @@ def token_frequencies(df, text_col: str = "text", top_k: int | None = None):
     with ``top_k`` the ordered take compiles to TakeOrderedAndProject —
     per-partition top-k heaps, no global sort. Ties break on the token
     string so the cut is deterministic cross-engine."""
-    toks = df.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
+    inp = df.select(F.col(text_col))
+    # spread to cluster parallelism: a single small parquet file scans as
+    # ONE partition, serializing the tokenize+explode+partial-agg map side
+    # on one core (the shuffle moves only the text column; at cluster
+    # scale the scan is already wider and this is a cheap rebalance)
+    inp = inp.repartition(inp.sparkSession.sparkContext.defaultParallelism)
+    toks = inp.select(F.explode(ws_tokens(F.col(text_col))).alias("token"))
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     if top_k is not None:
         counts = counts.orderBy(
             F.col("n").desc(), F.col("token").asc()
         ).limit(top_k)
     return counts
+
+
+def repetition_profile(df, id_col: str = "doc_id", text_col: str = "text"):
+    """``(id_col, bigram_rep, trigram_rep)`` for every document — the
+    vectorized Arrow form of :func:`ngram_repetition` (n=2 and n=3 from one
+    tokenization).
+
+    The JVM column form builds every n-gram as a string through interpreted
+    higher-order functions (``transform``+``array_join``+``array_distinct``
+    are HigherOrderFunction nodes, never codegen'd) — measured as the whole
+    cost of the repetition screen. This kernel tokenizes once per doc with
+    the canonical whitespace split (pandas ``str.split()``, the pinned twin
+    of :func:`ws_tokens` — tests/test_tokenizer.py), factorizes tokens to
+    integer codes, and counts distinct n-grams as distinct base-V code
+    combinations via ``np.unique`` — exact integer counts, so the emitted
+    ``1 - distinct/total`` doubles are bit-identical to the column form
+    (same two integers, one IEEE division; pinned by
+    tests/test_extras.py::test_repetition_kernel_matches_column_form).
+    Token tuples <-> joined-gram strings is a bijection (tokens cannot
+    contain whitespace), so "distinct grams" is the same set either way.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    id_dtype = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            bi = np.zeros(n, dtype=np.float64)
+            tri = np.zeros(n, dtype=np.float64)
+            tok_lists = pdf[text_col].str.split()
+            for i in range(n):
+                t = tok_lists.iat[i]
+                m = len(t)
+                if m < 2:
+                    continue
+                c = pd.factorize(np.asarray(t, dtype=object))[0]
+                v = np.int64(c.max() + 1)
+                bg = c[:-1] * v + c[1:]
+                total2 = m - 1
+                bi[i] = (total2 - len(np.unique(bg))) / total2
+                if m < 3:
+                    continue
+                if m * m * m < (1 << 62):  # v <= m: base-V trigram fits int64
+                    tg = (c[:-2] * v + c[1:-1]) * v + c[2:]
+                    n_tri = len(np.unique(tg))
+                else:  # degenerate multi-million-token doc: exact set form
+                    n_tri = len(set(zip(t, t[1:], t[2:])))
+                total3 = m - 2
+                tri[i] = (total3 - n_tri) / total3
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "bigram_rep": bi,
+                    "trigram_rep": tri,
+                }
+            )
+
+    inp = df.select(id_col, text_col)
+    # spread to cluster parallelism (single-row-group scan = one-task
+    # kernel otherwise; same rationale as multimodal's
+    # _spread_for_python_kernel)
+    inp = inp.repartition(inp.sparkSession.sparkContext.defaultParallelism)
+    return inp.mapInPandas(
+        kernel,
+        schema=f"{id_col} {id_dtype}, bigram_rep double, trigram_rep double",
+    )
 
 
 def ngram_repetition(toks: Column, n: int) -> Column:
