@@ -81,16 +81,17 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE pass over ONE spread scan (r8): the original three-branch union
-    # (base / dup / near as separate filtered selects) instantiated three
-    # copies of the scan + tokenization, and the spread-to-parallelism
-    # repartition tripled with it (ReuseExchange does not dedupe
-    # user-specified round-robin shuffles). Building the variants as a
-    # conditional array + explode keeps the exact same output rows from a
-    # single scan, a single split, a single shuffle. The documents file is
-    # a single row group, so the repartition is the only way the turn
-    # construction parallelizes.
+def _variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(conv_id, toks)`` of the derived corpus — conv_/dup_/near_
+    variants from ONE pass over ONE spread scan (r8): the original
+    three-branch union (base / dup / near as separate filtered selects)
+    instantiated three copies of the scan + tokenization, and the
+    spread-to-parallelism repartition tripled with it (ReuseExchange does
+    not dedupe user-specified round-robin shuffles). Building the
+    variants as a conditional array + explode keeps the exact same output
+    rows from a single scan, a single split, a single shuffle. The
+    documents file is a single row group, so the repartition is the only
+    way the downstream construction parallelizes."""
     docs = _read(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -118,16 +119,27 @@ def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    variants = (
+    return (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("__toks"))
         .select(F.explode(variant_arr).alias("__v"))
         .select(F.col("__v.conv_id").alias("conv_id"), F.col("__v.toks").alias("toks"))
     )
+
+
+def _turn_texts_col():
+    """The per-variant array of 10-token turn texts — the ONE definition
+    both the transcript generator and the direct document construction
+    share (referenced over a bound ``toks`` column)."""
     n_turns = F.floor((F.size("toks") + TURN_TOKENS - 1) / TURN_TOKENS).cast("int")
-    turn_texts = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_turns - 1),
         lambda i: F.array_join(F.slice("toks", i * TURN_TOKENS + 1, TURN_TOKENS), " "),
     )
+
+
+def derived_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    variants = _variants(spark, sf_dir)
+    turn_texts = _turn_texts_col()
     roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool"))
     out = variants.select(
         "conv_id", F.posexplode(turn_texts).alias("turn_idx", "text")
@@ -219,12 +231,40 @@ ngram_pairs AS (
 # ---------------------------------------------------------------------------
 
 def _assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return assemble_documents(derived_transcripts(spark, sf_dir))
+    """The derived-corpus document table, constructed DIRECTLY (r8).
+
+    ``assemble_documents(derived_transcripts(...))`` explodes each
+    variant's ``turn_texts`` array into rows, shuffles them by conv_id,
+    regroups, sorts and concat_ws's the same strings back together. Every
+    consumer query paid that explode+exchange+sort roundtrip just to
+    rebuild a value that is a pure per-row function of the variant:
+    ``doc = concat_ws('\n', turn_texts)``, ``n_turns =
+    size(turn_texts)``. This direct form emits column-for-column
+    identical rows (same turn_texts expression, same separator) with ZERO
+    shuffle beyond the shared spread — guide §2.4 "remove shuffles
+    outright". Equality with the real assembly operator is pinned by
+    tests/test_entry.py::test_assembled_direct_matches_assembly, and
+    :func:`q_assemble` still times the REAL P2 operator over the
+    transcript rows."""
+    with_tt = _variants(spark, sf_dir).select(
+        "conv_id", _turn_texts_col().alias("__tt")
+    )
+    return (
+        with_tt.select(
+            "conv_id",
+            F.size("__tt").cast("long").alias("n_turns"),
+            F.concat_ws("\n", F.col("__tt")).alias("doc"),
+        )
+        .withColumn("doc_len", F.length("doc").cast("long"))
+        .select("conv_id", "n_turns", "doc_len", "doc")
+    )
 
 
 def q_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 document assembly under stable turn ordering."""
-    return _assembled(spark, sf_dir)
+    """P2 document assembly under stable turn ordering (the REAL
+    assembly operator over transcript rows — consumer queries use the
+    provably-identical direct construction, see :func:`_assembled`)."""
+    return assemble_documents(derived_transcripts(spark, sf_dir))
 
 
 def q_exact_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -232,14 +232,20 @@ def connected_components(
             "pid int, offset long",
         )
     )
-    # mono id within a partition == (pid << 33) + local row counter
+    # local rank within a partition: row_number over the mono id needs
+    # only monotonicity-within-partition (documented behavior), NOT the
+    # internal (pid << 33) + counter bit layout the previous
+    # ``mono - pid * 2^33`` recovery depended on — a layout change there
+    # would have silently collided vids (ADVICE r7). The window sorts
+    # already-ordered partitions, so the cost is a no-op pass.
+    from pyspark.sql import Window
+
+    local_rank = (
+        F.row_number().over(Window.partitionBy("pid").orderBy("mono")) - 1
+    )
     vmap = with_pid.join(off_df, "pid").select(
         "conv_id",
-        (
-            F.col("offset")
-            + F.col("mono")
-            - (F.col("pid").cast("long") * F.lit(1 << 33))
-        ).alias("vid"),
+        (F.col("offset") + local_rank).alias("vid"),
     ).localCheckpoint(eager=True)
 
     sym = (

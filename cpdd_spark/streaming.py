@@ -173,6 +173,14 @@ class IncrementalDedup:
     def process_docs(self, documents: DataFrame, batch_id: int = 0) -> None:
         t_start = time.perf_counter()
         self.last_timings = {}
+        # release a cache leaked by a batch that failed between the near
+        # tier's persist and the clusters append (the happy path unpersists
+        # at the end of _process_docs_inner; a raise in between would
+        # otherwise accumulate executor memory across failed batches)
+        stale = getattr(self, "_batch_persist", None)
+        if stale is not None:
+            stale.unpersist()
+            self._batch_persist = None
         self._process_docs_inner(documents, batch_id)
         self.last_timings["total"] = time.perf_counter() - t_start
 
@@ -378,12 +386,25 @@ class IncrementalDedup:
         ``verify_pairs_sets``, CC, index append) is pure JVM over stored
         arrays. No document text enters the index or the probe joins."""
         cfg = self.cfg
+        from pyspark.sql import Observation
+
         t0 = time.perf_counter()
         # barrier: `out` feeds the fresh-canonical filter, the remap join,
         # and the final write — materialize once (micro-batch sized; the
         # r7 profile A/B'd removing this checkpoint and the three replays
-        # of the window+probe plan cost MORE than the one action saved)
-        out = out.localCheckpoint(eager=True)
+        # of the window+probe plan cost MORE than the one action saved).
+        # The fresh-canonical count rides the SAME action as an
+        # Observation (r8): the old form spent one more driver action per
+        # batch on `sigs.rdd.isEmpty()` (plus an RDD conversion) just to
+        # decide the empty-batch fast path — per-batch fixed cost IS
+        # action count (the r7 event-log attribution).
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.sum(
+                F.when(F.col("cluster_id") == F.col("conv_id"), 1).otherwise(0)
+            ).alias("n_fresh"),
+        ).localCheckpoint(eager=True)
         self.last_timings["exact_out"] = time.perf_counter() - t0
         # fresh canonicals' signatures: a slim JVM join of two
         # checkpointed frames — cheap enough to recompute per consumer
@@ -394,7 +415,7 @@ class IncrementalDedup:
             .join(docs_sigs, "conv_id")
         )
         self.last_timings["sigs_kernel"] = time.perf_counter() - t0
-        if sigs.rdd.isEmpty():
+        if (obs.get["n_fresh"] or 0) == 0:
             # pure-duplicate batch: no fresh canonicals, so there is
             # nothing to probe, cluster, or index — skip the whole near
             # tier (the empty-frame probe/CC/append jobs cost ~2 s of pure

@@ -168,3 +168,19 @@ def test_clusters_lsh_equals_ngram_route_sf01(spark):
         f"routes diverge: {len(a - b)} ngram-only, {len(b - a)} lsh-only "
         f"of {len(a)}/{len(b)} rows"
     )
+
+
+def test_assembled_direct_matches_assembly(spark):
+    """The direct document construction consumer queries use (r8,
+    entry_mod._assembled) must be row-for-row identical to the real P2
+    assembly operator over the derived transcripts — same conv_ids, same
+    n_turns/doc_len, byte-identical doc strings."""
+    from cpdd_spark.assemble import assemble_documents
+
+    direct = entry_mod._assembled(spark, SF_DIR)
+    assembled = assemble_documents(entry_mod.derived_transcripts(spark, SF_DIR))
+    cols = ["conv_id", "n_turns", "doc_len", "doc"]
+    assert direct.columns == assembled.columns == cols
+    a = sorted(tuple(r) for r in direct.collect())
+    b = sorted(tuple(r) for r in assembled.collect())
+    assert a == b
