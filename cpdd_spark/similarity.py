@@ -187,12 +187,12 @@ def sign_sketches(
                 }
             )
 
-    inp = df.select(id_col, vec_col)
-    # spread to cluster parallelism: vector tables often scan as one
-    # partition (single small file / one row group), which would run the
-    # matmul kernel AND the first downstream exchange's map side serially
-    inp = inp.repartition(inp.sparkSession.sparkContext.defaultParallelism)
-    return inp.mapInPandas(kernel, schema=SKETCH_SCHEMA)
+    # NO input spread here (r8 A/B): the matmul kernel is cheap relative
+    # to its own output exchange (the bucket-count groupBy re-shuffles the
+    # sketch rows immediately anyway), and a repartition of the vector
+    # table costs more than the kernel parallelism buys — measured a small
+    # but consistent net loss on both the top-k and dedup paths.
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=SKETCH_SCHEMA)
 
 
 def cosine_dup_pairs_lsh(
