@@ -318,7 +318,12 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-shingling both texts per candidate pair. Jaccard is bit-identical
     # (both paths intersect the same distinct 64-bit hash sets; LSH
     # candidates are screened to n_shingles > 0 — verify.py docstring).
-    sigs = compute_signatures(docs, CFG, with_sets=True).persist()
+    # with_simhash=False: nothing downstream reads simhash here, and the
+    # bit-plane accumulation is the priciest piece of the fused kernel
+    # (signatures.py docstring); minhash/sets are bit-identical without it.
+    sigs = compute_signatures(
+        docs, CFG, with_sets=True, with_simhash=False
+    ).persist()
     verified = verify_pairs_sets(
         candidate_pairs(sigs, CFG, eager=False),
         sigs.select("conv_id", "shingles"),
@@ -356,8 +361,12 @@ def q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_lsh_verify.py::test_verify_pairs_sets_matches_kernel)."""
     docs = _assembled(spark, sf_dir)
     # persist: the fused pass feeds both the band generator and the verify
-    # join (in the pipeline this is a materialized stage table instead)
-    sigs = compute_signatures(docs, CFG, with_sets=True).persist()
+    # join (in the pipeline this is a materialized stage table instead).
+    # with_simhash=False: simhash is never read on this route (guide §1.2
+    # "don't compute things you throw away"); minhash/sets bit-identical.
+    sigs = compute_signatures(
+        docs, CFG, with_sets=True, with_simhash=False
+    ).persist()
     result = verify_pairs_sets(
         candidate_pairs(sigs, CFG, eager=False),
         sigs.select("conv_id", "shingles"),
@@ -431,10 +440,11 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and CC all read `sigs` — unmaterialized, each consumer re-runs the
     # Python kernel (measured 13.2 s -> one-pass shape in BENCH_r06).
     # Same discipline as DedupPipeline's signatures stage table and the
-    # streaming tier's per-batch checkpoint.
-    sigs = compute_signatures(reps, CFG, with_sets=True).localCheckpoint(
-        eager=True
-    )
+    # streaming tier's per-batch checkpoint. with_simhash=False: simhash
+    # is never read on this route; minhash/sets bit-identical without it.
+    sigs = compute_signatures(
+        reps, CFG, with_sets=True, with_simhash=False
+    ).localCheckpoint(eager=True)
     verified = verify_pairs_sets(
         candidate_pairs(sigs, CFG), sigs.select("conv_id", "shingles"), CFG
     )

@@ -64,6 +64,7 @@ def pairs_from_buckets(
     eager: bool = True,
     id_col: str = "conv_id",
     distinct: bool = True,
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-aware pair generation from ``(key_cols..., id_col)`` bucket rows.
 
@@ -71,6 +72,17 @@ def pairs_from_buckets(
     ids, ...): members sort, pair, and chain in the column's NATIVE order —
     callers with numeric ids keep 8-byte shuffle keys instead of paying two
     casts and string comparisons on the candidate path.
+
+    ``payload_cols`` names small per-member columns to CARRY THROUGH the
+    bucket machinery (guide §2.3 "shuffle keys and metadata instead of
+    payloads" — inverted: when the downstream verify needs only a few
+    bytes per member, riding them through the collect beats joining them
+    back onto the candidate list afterwards). Members become structs of
+    ``(id, *payloads)``; since ``id_col`` is unique per bucket member, the
+    struct sort order equals the id order and the emitted pair set is
+    identical. Output columns become ``a, b, <p>_a, <p>_b`` per payload
+    ``p``. Only for fixed-width scalar payloads (a simhash long, a size) —
+    arrays belong on a post-expansion join.
 
     Shared by LSH band buckets, substring fingerprint buckets, and the
     embedding sign-LSH buckets. ONE
@@ -110,9 +122,20 @@ def pairs_from_buckets(
     # chain; without persistence each consumer replays the two bucket-table
     # shuffles above (measured 2-3x the stage wall). Singleton groups stay —
     # a 1-member shard of a pre-salted hot bucket still needs its chain edge.
+    # With payloads, members are (id, *payload) structs: id is the FIRST
+    # struct field and unique per bucket, so struct order == id order and
+    # the banded expansion/chaining below is unchanged semantically.
+    member = (
+        F.struct(
+            F.col(id_col).alias("__id"),
+            *[F.col(c) for c in payload_cols],
+        )
+        if payload_cols
+        else F.col(id_col)
+    )
     grouped = (
         salted.groupBy(*key_cols, "salt")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("members"))
+        .agg(F.sort_array(F.collect_list(member)).alias("members"))
         .persist()
     )
 
@@ -168,6 +191,17 @@ def pairs_from_buckets(
     # the plan while the emitted pair set stays identical (duplicate
     # candidates produce bit-identical verified rows).
     result = pairs.unionByName(chain_pairs)
+    if payload_cols:
+        # unpack the member structs: (a, b, <p>_a, <p>_b). Projection
+        # before the dedup is equivalence-preserving — id is unique, so
+        # the payload is a function of it and distinct over the unpacked
+        # row set equals distinct over the struct pairs.
+        result = result.select(
+            F.col("a.__id").alias("a"),
+            F.col("b.__id").alias("b"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in payload_cols],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in payload_cols],
+        )
     if distinct:
         result = result.distinct()
     if eager:
@@ -297,17 +331,23 @@ def simhash_candidates(
             for i, j, l in combinations(range(m), 3)
         ]
     keyed = sigs.select(
-        "conv_id", F.posexplode(F.array(*combo_cols)).alias("block_id", "block_val")
+        "conv_id",
+        "simhash",
+        F.posexplode(F.array(*combo_cols)).alias("block_id", "block_val"),
     )
-    cand = pairs_from_buckets(keyed, ["block_id", "block_val"], cfg)
-    sa = sigs.select(F.col("conv_id").alias("a"), F.col("simhash").alias("sim_a"))
-    sb = sigs.select(F.col("conv_id").alias("b"), F.col("simhash").alias("sim_b"))
+    # the fingerprint RIDES THROUGH the bucket machinery as an 8-byte
+    # member payload, so the exact popcount verify is an inline expression
+    # over the expanded pairs — the two id-keyed attach joins (which
+    # re-shuffled the whole candidate list twice just to fetch one long
+    # per side) are gone from the plan (guide §2.4/§2.3). Pair set and
+    # hamming values are identical: the payload is a function of the id.
+    cand = pairs_from_buckets(
+        keyed, ["block_id", "block_val"], cfg, payload_cols=["simhash"]
+    )
     return (
-        cand.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
+        cand.withColumn(
             "hamming",
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))),
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
         )
         .filter(F.col("hamming") <= cfg.simhash_hamming_max)
         .select("a", "b", "hamming")

@@ -69,16 +69,32 @@ def _norm(a, dim: int | None = None):
 
 
 def with_cosine(
-    pairs: DataFrame, va: str = "emb_a", vb: str = "emb_b", dim: int | None = None
+    pairs: DataFrame,
+    va: str = "emb_a",
+    vb: str = "emb_b",
+    dim: int | None = None,
+    na: str | None = None,
+    nb: str | None = None,
 ) -> DataFrame:
     """``dim`` unrolls the fold for codegen (see :func:`_dot`) — pass it
     whenever the embedding width is statically known; semantics (and the
     emitted doubles) are identical for arrays of exactly that length,
-    which every caller's schema guarantees."""
+    which every caller's schema guarantees.
+
+    ``na``/``nb`` name PRECOMPUTED norm columns (built with :func:`_norm`
+    over the same arrays, attached once per VECTOR on the slim side of the
+    verify joins). A candidate list verifies millions of pairs against a
+    corpus of thousands of vectors, so recomputing each side's norm per
+    PAIR did ~2/3 of the verify arithmetic redundantly (guide §1.2 "don't
+    compute things you throw away"). Bit-identical cosines: the attached
+    norm is the same left-to-right fold over the same array, and
+    ``dot / (na * nb)`` multiplies and divides the same doubles in the
+    same order as the inline form."""
+    norm_a = F.col(na) if na else _norm(F.col(va), dim)
+    norm_b = F.col(nb) if nb else _norm(F.col(vb), dim)
     return pairs.withColumn(
         "cosine",
-        _dot(F.col(va), F.col(vb), dim)
-        / (_norm(F.col(va), dim) * _norm(F.col(vb), dim)),
+        _dot(F.col(va), F.col(vb), dim) / (norm_a * norm_b),
     )
 
 
@@ -236,9 +252,9 @@ def cosine_dup_pairs_lsh(
     # millions of rows on random-vector corpora — and the default eager
     # localCheckpoint would serialize all of it into storage memory as a
     # separate blocking job before the verify even starts. Lazy lets the
-    # expansion pipeline straight into the (broadcast) verify joins in one
-    # job; the persisted bucket-member table it protects is ~MB-sized and
-    # dies with the session.
+    # expansion pipeline straight into the verify in one job; the
+    # persisted bucket-member table it protects is ~MB-sized and dies
+    # with the session.
     # distinct=False: candidates stay multiset-shaped through the verify
     # (cosine is deterministic, so duplicate candidates yield bit-identical
     # verified rows) and the final .distinct() below dedups the tiny
@@ -247,15 +263,77 @@ def cosine_dup_pairs_lsh(
     cands = pairs_from_buckets(
         sk, ["t", "bucket"], cfg, eager=False, id_col="id", distinct=False
     ).select(F.col("a").alias("ia"), F.col("b").alias("ib"))
-    # broadcast the (small) embedding table into BOTH attach joins: the
-    # candidate list is the big side (O(collisions) rows) and must not be
-    # shuffled twice just to pick up 64-double payloads — guide §3.1
-    # (auto-broadcast misses this: the estimated size of a 20k x 64-double
-    # table sits right at the 10 MB default threshold)
+    if broadcast_vectors:
+        # Verify in a VECTORIZED Arrow kernel against a task-local copy of
+        # the vector table (guide §4.2: hand whole batches to NumPy). The
+        # JVM-expression alternative — a 64-term unrolled cosine inside
+        # the post-join filter — generates a 20-30 KB bytecode method:
+        # under Spark's codegen fallback limit, but over HotSpot's 8 KB
+        # JIT refusal threshold (-XX:-DontCompileHugeMethods default), so
+        # the whole expand+join+filter loop ran in the BYTECODE
+        # INTERPRETER (~58 us/pair, jstack-verified; the kernel verifies
+        # the same candidates at ~0.02 us/pair). Only the (ia, ib) longs
+        # cross the Python boundary — 16 B/candidate — and only verified
+        # survivors come back.
+        #
+        # Bit-identical cosines by construction: the kernel accumulates
+        # dot and norms with a LOOP OVER DIMENSIONS of vectorized
+        # adds/multiplies over the pair axis — each pair's sum runs
+        # strictly left-to-right in float64, the exact IEEE sequence of
+        # the _dot/_norm expression fold and of the DuckDB oracle's
+        # list reduce (float32 -> float64 casts are exact; numpy and the
+        # JVM both use correctly-rounded IEEE multiply/divide/sqrt).
+        # Equality is pinned by tests/test_similarity.py.
+        import pandas as pd
+        from collections.abc import Iterator
+
+        pdf_vecs = corpus.select(id_col, vec_col).toPandas()
+        ids = pdf_vecs[id_col].to_numpy()
+        if len(ids):
+            mat = np.stack(pdf_vecs[vec_col].to_numpy()).astype(np.float64)
+        else:
+            mat = np.zeros((0, dim), dtype=np.float64)
+        # dense id -> row-index map (vector ids need not be contiguous)
+        order = np.argsort(ids, kind="mergesort")
+        sorted_ids, sorted_rows = ids[order], order
+        norms = np.zeros(len(ids), dtype=np.float64)
+        for j in range(mat.shape[1]):  # left-to-right, matching _norm
+            norms += mat[:, j] * mat[:, j]
+        norms = np.sqrt(norms)
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (sorted_ids, sorted_rows, mat, norms)
+        )
+        thr = float(threshold)
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            s_ids, s_rows, m, nrm = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ra = s_rows[np.searchsorted(s_ids, pdf["ia"].to_numpy())]
+                rb = s_rows[np.searchsorted(s_ids, pdf["ib"].to_numpy())]
+                dot = np.zeros(len(pdf), dtype=np.float64)
+                for j in range(m.shape[1]):  # left-to-right, matching _dot
+                    dot += m[ra, j] * m[rb, j]
+                cos = dot / (nrm[ra] * nrm[rb])
+                keep = cos >= thr
+                ia = pdf["ia"].to_numpy()[keep]
+                ib = pdf["ib"].to_numpy()[keep]
+                yield pd.DataFrame(
+                    {
+                        "a": np.minimum(ia, ib),
+                        "b": np.maximum(ia, ib),
+                        "cosine": cos[keep],
+                    }
+                )
+
+        return cands.mapInPandas(
+            kernel, schema="a long, b long, cosine double"
+        ).distinct()
+    # at-scale mode (10^9+ vectors): no driver-side vector table — attach
+    # vectors through shuffle joins and verify with the JVM expression
     left = corpus.select(F.col(id_col).alias("ia"), F.col(vec_col).alias("emb_a"))
     right = corpus.select(F.col(id_col).alias("ib"), F.col(vec_col).alias("emb_b"))
-    if broadcast_vectors:
-        left, right = F.broadcast(left), F.broadcast(right)
     joined = cands.join(left, "ia").join(right, "ib")
     return (
         with_cosine(joined, dim=dim)
