@@ -324,8 +324,9 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         docs, CFG, with_sets=True, with_simhash=False
     ).persist()
+    caches: list = []
     verified = verify_pairs_sets(
-        candidate_pairs(sigs, CFG, eager=False),
+        candidate_pairs(sigs, CFG, eager=False, release=caches),
         sigs.select("conv_id", "shingles"),
         CFG,
     )
@@ -346,6 +347,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.unpersist()  # hygiene for the multi-query driver session
     sigs.unpersist()
+    for c in caches:
+        c.unpersist()
     return result
 
 
@@ -367,12 +370,15 @@ def q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         docs, CFG, with_sets=True, with_simhash=False
     ).persist()
+    caches: list = []
     result = verify_pairs_sets(
-        candidate_pairs(sigs, CFG, eager=False),
+        candidate_pairs(sigs, CFG, eager=False, release=caches),
         sigs.select("conv_id", "shingles"),
         CFG,
     ).localCheckpoint(eager=True)
     sigs.unpersist()
+    for c in caches:
+        c.unpersist()
     return result
 
 
@@ -421,20 +427,25 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     connectivity because an exact member's shingle set is its rep's
     (reference analogue: the tiered cascade computes the same clusters
     cheaper, README:46-73)."""
-    docs = _assembled(spark, sf_dir).persist()
-    # cache the exact tier: ec is consumed twice (the reps filter AND
-    # exact_pairs) and its window sorts the FULL document text by
-    # (length, md5, doc) — uncached, both consumers replay that sort.
-    # persist(), NOT localCheckpoint: warm alternating A/B at sf0.1
-    # measured persist 5.9-6.5s vs plain 6.9-8.6s vs eager checkpoint
-    # 9.4-16s (the checkpoint's blocking job + stats-bearing leaf cost
-    # more than the saved recompute; cf. the streaming meltdown note in
-    # BENCH/BASELINE.md). lazy_hash=False: identical clusters, one full
-    # text sort fewer (see q_clusters).
-    ec = exact_clusters(docs, lazy_hash=False).persist()
-    reps = docs.join(
-        ec.filter(F.col("conv_id") == F.col("cluster_id")).select("conv_id"),
-        "conv_id",
+    # cache the exact tier: ec is consumed three times (the reps filter,
+    # exact_pairs, and the CC vertex set) and its window sorts the FULL
+    # document text by (length, md5, doc) — uncached, every consumer
+    # replays that sort. persist(), NOT localCheckpoint: warm alternating
+    # A/B at sf0.1 measured persist 5.9-6.5s vs plain 6.9-8.6s vs eager
+    # checkpoint 9.4-16s (the checkpoint's blocking job + stats-bearing
+    # leaf cost more than the saved recompute; cf. the streaming meltdown
+    # note in BENCH/BASELINE.md). lazy_hash=False: identical clusters, one
+    # full text sort fewer (see q_clusters). keep=("doc",) (r8): the doc
+    # column rides the exact window, so the representative table is a
+    # FILTER of this frame instead of a conv_id join back onto a separately
+    # persisted corpus — the docs cache, its fill job, and the two-sided
+    # reps-join exchange are gone from the plan (guide §2.4), and the CC
+    # vertex set reads the same cache (ec's conv_id set == the corpus's).
+    ec = exact_clusters(
+        _assembled(spark, sf_dir), lazy_hash=False, keep=("doc",)
+    ).persist()
+    reps = ec.filter(F.col("conv_id") == F.col("cluster_id")).select(
+        "conv_id", "doc"
     )
     # materialize the fused Arrow pass ONCE: banding, the set-verify join,
     # and CC all read `sigs` — unmaterialized, each consumer re-runs the
@@ -445,15 +456,22 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         reps, CFG, with_sets=True, with_simhash=False
     ).localCheckpoint(eager=True)
+    # release=: the banded expansion pipelines straight into the verify
+    # join and CC without its own materialization job; the bucket-member
+    # cache is dropped once the clusters checkpoint lands (r8)
+    caches: list = []
     verified = verify_pairs_sets(
-        candidate_pairs(sigs, CFG), sigs.select("conv_id", "shingles"), CFG
+        candidate_pairs(sigs, CFG, eager=False, release=caches),
+        sigs.select("conv_id", "shingles"),
+        CFG,
     )
     edges = exact_pairs(ec).unionByName(verified.select("a", "b"))
     clusters = connected_components(
-        edges, vertices=docs.select("conv_id")
+        edges, vertices=ec.select("conv_id")
     ).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
     ec.unpersist()
-    docs.unpersist()
     return clusters
 
 
@@ -963,9 +981,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(docs, CFG, with_minhash=False).localCheckpoint(
         eager=True
     )
-    result = simhash_candidates(sigs, CFG, n_docs=n_docs).localCheckpoint(
-        eager=True
-    )
+    # release=: the candidate expansion pipelines straight into the inline
+    # hamming screen and this ONE checkpoint (no intermediate candidate
+    # materialization job); the bucket-member cache it protects is
+    # unpersisted right after — see pairs_from_buckets (r8)
+    caches: list = []
+    result = simhash_candidates(
+        sigs, CFG, n_docs=n_docs, release=caches
+    ).localCheckpoint(eager=True)
+    for c in caches:
+        c.unpersist()
     docs.unpersist()
     return result
 

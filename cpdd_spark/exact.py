@@ -47,10 +47,19 @@ def mark_needs_hash(docs: DataFrame) -> DataFrame:
 
 
 def exact_clusters(
-    docs: DataFrame, lazy_hash: bool = True, verify: str = "bytes"
+    docs: DataFrame,
+    lazy_hash: bool = True,
+    verify: str = "bytes",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """``documents(conv_id, n_turns, doc_len, doc)`` ->
     ``exact_clusters(conv_id, doc_len, md5, cluster_id, cluster_size)``.
+
+    ``keep`` names extra input columns to carry through to the output
+    (e.g. ``("doc",)`` so a caller can derive the representative-document
+    table by FILTERING this frame — ``conv_id == cluster_id`` — instead of
+    joining the cluster ids back onto the corpus, which re-shuffles both
+    sides just to re-attach a column this window already saw).
 
     ``lazy_hash=True`` mirrors cpdd's lazy-MD5 economics (hash only within
     size-collision groups). At transcript scale hashing is cheap relative to
@@ -81,12 +90,15 @@ def exact_clusters(
             "doc_len",
             F.md5(F.col("doc")).alias("md5"),
             F.xxhash64(F.col("doc")).alias("xxh64"),
+            *keep,
         )
         grp = Window.partitionBy("n_turns", "doc_len", "md5", "xxh64")
         return (
             hashed.withColumn("cluster_id", F.min("conv_id").over(grp))
             .withColumn("cluster_size", F.count(F.lit(1)).over(grp))
-            .select("conv_id", "doc_len", "md5", "cluster_id", "cluster_size")
+            .select(
+                "conv_id", "doc_len", "md5", "cluster_id", "cluster_size", *keep
+            )
         )
     if verify != "bytes":
         raise ValueError(f"verify must be 'bytes' or 'fingerprint', got {verify!r}")
@@ -106,7 +118,9 @@ def exact_clusters(
     return (
         hashed.withColumn("cluster_id", F.min("conv_id").over(grp))
         .withColumn("cluster_size", F.count(F.lit(1)).over(grp))
-        .select("conv_id", "doc_len", "md5", "cluster_id", "cluster_size")
+        .select(
+            "conv_id", "doc_len", "md5", "cluster_id", "cluster_size", *keep
+        )
     )
 
 

@@ -65,6 +65,7 @@ def pairs_from_buckets(
     id_col: str = "conv_id",
     distinct: bool = True,
     payload_cols: list[str] | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """Skew-aware pair generation from ``(key_cols..., id_col)`` bucket rows.
 
@@ -101,10 +102,20 @@ def pairs_from_buckets(
       representatives are chained to keep the bucket connected.
     """
     cap = cfg.max_band_bucket
-    sizes = buckets.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bucket_n"))
-    # same partitioning key as the upcoming groupBy => Catalyst reuses the
-    # exchange; the join adds no extra shuffle of the big side
-    keyed = buckets.join(sizes, key_cols)
+    # bucket size as a WINDOW over the bucket key (r8): the previous
+    # aggregate + self-join shape evaluated the bucket-key generator
+    # (band explode / block-combo explode) TWICE — once per join side —
+    # and paid a second exchange + sort-merge join for the size lookup.
+    # The window computes the count on the ONE exchange the downstream
+    # (key, salt) groupBy needs anyway (hash partitioning on the key
+    # columns satisfies the superset grouping's clustering), so the plan
+    # drops one Generate, one Exchange and the SMJ per call — same
+    # shape win as ngram.jaccard_pairs' df-cap window (guide §2.4).
+    from pyspark.sql import Window
+
+    keyed = buckets.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy(*key_cols))
+    )
     n_shards = F.ceil(F.col("bucket_n") / F.lit(SHARD_TARGET)).cast("int")
     # shard salt: crc32 for string ids (pinned by the independent Python
     # model test against zlib.crc32), xxhash64 for every other id type
@@ -219,15 +230,29 @@ def pairs_from_buckets(
     # persisted `grouped` dies with the short-lived session/stage. This is
     # measured SERIAL time: the barrier job costs ~10-15 s on the 6.7M-turn
     # fixture at every cluster size, pure Amdahl loss.
+    # `release`: long-lived multi-query sessions (the driver's) get the
+    # same pipelining WITHOUT the cache leak — the persisted `grouped` is
+    # appended for the caller to unpersist once its own final result is
+    # materialized (r8: deletes one candidate-list-sized materialization
+    # job per query while keeping the session-hygiene contract).
+    if release is not None:
+        release.append(grouped)
     return result
 
 
 def candidate_pairs(
-    signatures: DataFrame, cfg: DedupConfig, eager: bool = True
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    eager: bool = True,
+    release: list | None = None,
 ) -> DataFrame:
     """Distinct candidate ``(a, b)`` pairs with a < b from band collisions."""
     return pairs_from_buckets(
-        band_buckets(signatures, cfg), ["band_id", "band_hash"], cfg, eager=eager
+        band_buckets(signatures, cfg),
+        ["band_id", "band_hash"],
+        cfg,
+        eager=eager,
+        release=release,
     )
 
 
@@ -263,7 +288,10 @@ def simhash_block_subset_size(cfg: DedupConfig, n_docs: int | None) -> int:
 
 
 def simhash_candidates(
-    signatures: DataFrame, cfg: DedupConfig, n_docs: int | None = None
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    n_docs: int | None = None,
+    release: list | None = None,
 ) -> DataFrame:
     """Near-dup screen over SimHash: pairs with Hamming(a, b) <= t.
 
@@ -341,8 +369,17 @@ def simhash_candidates(
     # re-shuffled the whole candidate list twice just to fetch one long
     # per side) are gone from the plan (guide §2.4/§2.3). Pair set and
     # hamming values are identical: the payload is a function of the id.
+    # with the fingerprint riding as a payload, the expansion's only
+    # consumer is the inline popcount filter below — when the caller
+    # passes `release`, the intermediate candidate checkpoint is skipped
+    # and the whole screen pipelines into one job
     cand = pairs_from_buckets(
-        keyed, ["block_id", "block_val"], cfg, payload_cols=["simhash"]
+        keyed,
+        ["block_id", "block_val"],
+        cfg,
+        payload_cols=["simhash"],
+        eager=release is None,
+        release=release,
     )
     return (
         cand.withColumn(
