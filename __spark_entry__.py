@@ -453,9 +453,17 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same discipline as DedupPipeline's signatures stage table and the
     # streaming tier's per-batch checkpoint. with_simhash=False: simhash
     # is never read on this route; minhash/sets bit-identical without it.
+    # persist(), not localCheckpoint (r8): same reuse across the three
+    # consumers, but releasable — the checkpointed RDD of an intermediate
+    # cannot be unpersisted from the DataFrame API, so across the driver's
+    # ~36-query session those blocks accumulate in the block manager until
+    # a JVM GC notices; the persisted form is dropped explicitly below
+    # once the clusters checkpoint (which severs the lineage) lands.
+    # In-session A/B: wall parity (mins 8.4 vs 9.9 s inside a 2x noise
+    # band); hygiene decides.
     sigs = compute_signatures(
         reps, CFG, with_sets=True, with_simhash=False
-    ).localCheckpoint(eager=True)
+    ).persist()
     # release=: the banded expansion pipelines straight into the verify
     # join and CC without its own materialization job; the bucket-member
     # cache is dropped once the clusters checkpoint lands (r8)
@@ -471,6 +479,7 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     for c in caches:
         c.unpersist()
+    sigs.unpersist()
     ec.unpersist()
     return clusters
 
@@ -973,18 +982,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle) are bit-identical to the full pass."""
     docs = _assembled(spark, sf_dir).persist()
     n_docs = docs.count()
-    # materialize the signature pass ONCE (r8): simhash_candidates
-    # references its input three times (block-key explode + both sides of
-    # the hamming-verify join) — unmaterialized, the Python kernel ran
-    # three times per query. The slim (conv_id, n_shingles, simhash)
-    # projection is a few MB, so the checkpoint is cheap.
-    sigs = compute_signatures(docs, CFG, with_minhash=False).localCheckpoint(
-        eager=True
-    )
-    # release=: the candidate expansion pipelines straight into the inline
-    # hamming screen and this ONE checkpoint (no intermediate candidate
-    # materialization job); the bucket-member cache it protects is
-    # unpersisted right after — see pairs_from_buckets (r8)
+    # No sigs materialization at all (r8): with the fingerprint riding the
+    # bucket expansion as a member payload (cpdd_spark.lsh), the signature
+    # pass has exactly ONE consumer — the block-key explode — so the
+    # kernel runs once per query unmaterialized and the former three-way
+    # reuse checkpoint is dead weight. release=: the candidate expansion
+    # pipelines straight into the inline hamming screen and this ONE
+    # checkpoint; the bucket-member cache it protects is unpersisted
+    # right after — see pairs_from_buckets (r8).
+    sigs = compute_signatures(docs, CFG, with_minhash=False)
     caches: list = []
     result = simhash_candidates(
         sigs, CFG, n_docs=n_docs, release=caches

@@ -153,6 +153,10 @@ class IncrementalDedup:
                     self.clusters_dir
                 )
                 if "xxh64" not in df.columns:  # pure-legacy directory
+                    # legacy rows exist (e.g. the directory was swapped
+                    # out-of-band): the probe must keep the null-tolerant
+                    # match + legacy-collapse aggregate
+                    self._fresh_dir = False
                     df = df.withColumn("xxh64", F.lit(None).cast("long"))
                 elif self.cache_state:
                     # full modern schema: every later batch (which only
@@ -197,6 +201,13 @@ class IncrementalDedup:
             .withColumn("xxh64", F.xxhash64("doc"))
         )
         existing = self._existing()
+        if existing is None:
+            # a directory THIS instance saw empty can never hold legacy
+            # md5-only rows: every row it will ever contain is a dual-hash
+            # append from this code path — the probe below may then use
+            # plain key equality and skip the legacy-collapse aggregate
+            # (one exchange + hash aggregate per probing batch, r8)
+            self._fresh_dir = True
         if existing is not None:
             # no-clobber: conversations already assigned are skipped
             docs = docs.join(
@@ -260,23 +271,43 @@ class IncrementalDedup:
                 )
                 .agg(F.min("cluster_id").alias("e_cluster"))
             )
-            batch_assigned = batch_assigned.join(
-                probe,
-                (F.col("n_turns") == F.col("e_nt"))
-                & (F.col("doc_len") == F.col("e_dl"))
-                & (F.col("md5") == F.col("e_md5"))
-                # legacy (pre-xxh64) index rows carry a null e_xxh: accept
-                # the md5-only match for those — the original guarantee —
-                # instead of null-comparing to false and re-canonicalizing
-                # known content under a new cluster_id
-                & (F.col("e_xxh").isNull() | (F.col("xxh64") == F.col("e_xxh"))),
-                "left",
-            )
-            # a content key present both as a legacy row and a dual-hash row
-            # would match twice — collapse to the minimum existing canonical
-            batch_assigned = batch_assigned.groupBy(
-                "conv_id", "n_turns", "doc_len", "md5", "xxh64", "batch_canon"
-            ).agg(F.min("e_cluster").alias("e_cluster"))
+            if getattr(self, "_fresh_dir", False):
+                # pure dual-hash directory (created empty by this
+                # instance): the probe's groupBy key is unique per content
+                # key and the equality join matches at most once, so no
+                # legacy-collapse aggregate is needed — one exchange +
+                # hash aggregate fewer per probing batch
+                batch_assigned = batch_assigned.join(
+                    probe,
+                    (F.col("n_turns") == F.col("e_nt"))
+                    & (F.col("doc_len") == F.col("e_dl"))
+                    & (F.col("md5") == F.col("e_md5"))
+                    & (F.col("xxh64") == F.col("e_xxh")),
+                    "left",
+                )
+            else:
+                batch_assigned = batch_assigned.join(
+                    probe,
+                    (F.col("n_turns") == F.col("e_nt"))
+                    & (F.col("doc_len") == F.col("e_dl"))
+                    & (F.col("md5") == F.col("e_md5"))
+                    # legacy (pre-xxh64) index rows carry a null e_xxh:
+                    # accept the md5-only match for those — the original
+                    # guarantee — instead of null-comparing to false and
+                    # re-canonicalizing known content under a new
+                    # cluster_id
+                    & (
+                        F.col("e_xxh").isNull()
+                        | (F.col("xxh64") == F.col("e_xxh"))
+                    ),
+                    "left",
+                )
+                # a content key present both as a legacy row and a
+                # dual-hash row would match twice — collapse to the
+                # minimum existing canonical
+                batch_assigned = batch_assigned.groupBy(
+                    "conv_id", "n_turns", "doc_len", "md5", "xxh64", "batch_canon"
+                ).agg(F.min("e_cluster").alias("e_cluster"))
         else:
             batch_assigned = batch_assigned.withColumn("e_cluster", F.lit(None))
         out = batch_assigned.select(
