@@ -324,9 +324,13 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         docs, CFG, with_sets=True, with_simhash=False
     ).persist()
-    caches: list = []
+    # candidate_pairs stays EAGER (r8 A/B): its checkpoint action is what
+    # materializes the lazily-persisted sigs cache via ONE subtree before
+    # the verify's two probe sides read it — with a lazy candidate list
+    # all three sigs consumers land in one job and compute the kernel
+    # concurrently before the cache fills (mins 7.1 lazy vs 5.2 eager).
     verified = verify_pairs_sets(
-        candidate_pairs(sigs, CFG, eager=False, release=caches),
+        candidate_pairs(sigs, CFG),
         sigs.select("conv_id", "shingles"),
         CFG,
     )
@@ -347,8 +351,6 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs.unpersist()  # hygiene for the multi-query driver session
     sigs.unpersist()
-    for c in caches:
-        c.unpersist()
     return result
 
 
@@ -370,15 +372,15 @@ def q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         docs, CFG, with_sets=True, with_simhash=False
     ).persist()
-    caches: list = []
+    # EAGER candidates (r8 A/B): the checkpoint action fills the sigs
+    # cache through one subtree before the verify fan-out — see
+    # q_minhash_pairs.
     result = verify_pairs_sets(
-        candidate_pairs(sigs, CFG, eager=False, release=caches),
+        candidate_pairs(sigs, CFG),
         sigs.select("conv_id", "shingles"),
         CFG,
     ).localCheckpoint(eager=True)
     sigs.unpersist()
-    for c in caches:
-        c.unpersist()
     return result
 
 
@@ -464,12 +466,14 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = compute_signatures(
         reps, CFG, with_sets=True, with_simhash=False
     ).persist()
-    # release=: the banded expansion pipelines straight into the verify
-    # join and CC without its own materialization job; the bucket-member
-    # cache is dropped once the clusters checkpoint lands (r8)
-    caches: list = []
+    # EAGER candidates (r8 A/B, 3 rounds alternating): the candidate
+    # checkpoint action fills the lazily-persisted sigs cache through one
+    # subtree before the verify/CC fan-out reads it; with a lazy list all
+    # three sigs consumers share one job and the Arrow kernel runs
+    # concurrently per subtree before the cache fills (mins 17.7/40/25.9
+    # lazy vs 13.5/20.1/12.6 eager round-for-round).
     verified = verify_pairs_sets(
-        candidate_pairs(sigs, CFG, eager=False, release=caches),
+        candidate_pairs(sigs, CFG),
         sigs.select("conv_id", "shingles"),
         CFG,
     )
@@ -477,8 +481,6 @@ def q_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = connected_components(
         edges, vertices=ec.select("conv_id")
     ).localCheckpoint(eager=True)
-    for c in caches:
-        c.unpersist()
     sigs.unpersist()
     ec.unpersist()
     return clusters
